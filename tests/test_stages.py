@@ -1,0 +1,269 @@
+"""Stage 2-5 integration tests against the checked-in reference goldens."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_embeddings_tpu.io.json_io import load_json, save_json
+from multimodal_embeddings_tpu.ops.nms import greedy_nms_np
+from multimodal_embeddings_tpu.ops.grid import grid_cells, translate_boxes
+from multimodal_embeddings_tpu.pipeline.stages import (
+    combine_image_jsons,
+    edge_filter_grid_info,
+    edge_filter_regions,
+    group_jsons_by_image,
+    median_width_for_json,
+    run_columns_stage,
+    run_combine_stage,
+    run_edge_filter_stage,
+    run_median_stage,
+)
+
+
+def golden_paths(golden_combined_dir):
+    return sorted(glob.glob(os.path.join(golden_combined_dir, "*_combined.json")))
+
+
+class TestGoldenFixedPoint:
+    def test_all_goldens_are_nms_fixed_points(self, golden_combined_dir):
+        """Every checked-in combined golden is already NMS'd at IoU 0.5 and
+        stored in selection order, so re-running our exact NMS must keep all
+        boxes in identity order — a bit-level semantics check on real data."""
+        paths = golden_paths(golden_combined_dir)
+        assert len(paths) >= 15
+        for path in paths:
+            data = load_json(path)
+            n = len(data["boxes"])
+            if n == 0:
+                continue
+            keep = greedy_nms_np(
+                np.asarray(data["boxes"], dtype=np.float64),
+                np.asarray(data["scores"], dtype=np.float64),
+                np.asarray(data["classes"], dtype=np.float64),
+                data["parameters"]["iou_threshold"],
+            )
+            assert keep.tolist() == list(range(n)), os.path.basename(path)
+
+    def test_json_roundtrip_byte_identical(self, golden_combined_dir, tmp_path):
+        """json.load → save_json must reproduce the reference writer's bytes
+        (float repr, indent, separators) exactly."""
+        for path in golden_paths(golden_combined_dir)[:5]:
+            data = load_json(path)
+            out = tmp_path / os.path.basename(path)
+            save_json(data, str(out))
+            with open(path, "rb") as f:
+                want = f.read()
+            with open(out, "rb") as f:
+                got = f.read()
+            assert got == want, os.path.basename(path)
+
+
+def synthesize_stage1_outputs(golden, base, out_dir):
+    """Build a plausible stage-1 output set (one base JSON + one 2x2
+    grid-info JSON) from a golden page by spatially bucketing its boxes."""
+    W = golden["image_size"]["width"]
+    H = golden["image_size"]["height"]
+    boxes = golden["boxes"]
+    classes = golden["classes"]
+    scores = golden["scores"]
+    names = golden["class_names"]
+
+    json_dir = os.path.join(out_dir, "json")
+    os.makedirs(json_dir, exist_ok=True)
+
+    # Base (non-grid) JSON: every other box.
+    idx = list(range(0, len(boxes), 2))
+    base_json = {
+        "image_path": golden["image_path"],
+        "image_size": {"width": W, "height": H},
+        "parameters": {"conf_threshold": 0.1, "iou_threshold": 0.45},
+        "boxes": [boxes[i] for i in idx],
+        "classes": [classes[i] for i in idx],
+        "scores": [scores[i] for i in idx],
+        "class_names": [names[i] for i in idx],
+    }
+    with open(os.path.join(json_dir, f"{base}.json"), "w") as f:
+        json.dump(base_json, f, indent=2)
+
+    # 2x2 grid-info JSON: assign each box to the cell containing its center.
+    cells = grid_cells(W, H, 2, 2, 20.0)
+    cell_entries = []
+    for cell in cells:
+        cell_boxes, cell_orig, cell_classes, cell_scores, cell_names = [], [], [], [], []
+        for b, c, s, n in zip(boxes, classes, scores, names):
+            cx = (b[0] + b[2]) / 2
+            cy = (b[1] + b[3]) / 2
+            if cell.x_start <= cx < cell.x_end and cell.y_start <= cy < cell.y_end:
+                local = [
+                    b[0] - cell.x_start,
+                    b[1] - cell.y_start,
+                    b[2] - cell.x_start,
+                    b[3] - cell.y_start,
+                ]
+                cell_boxes.append(local)
+                cell_orig.append(translate_boxes([local], cell)[0])
+                cell_classes.append(c)
+                cell_scores.append(s)
+                cell_names.append(n)
+        cell_entries.append(
+            {
+                "cell_path": f"/nonexistent/{base}_row{cell.row}_col{cell.col}.png",
+                "cell_json_path": f"/nonexistent/{base}_row{cell.row}_col{cell.col}.json",
+                "cell_coordinates": cell.coordinates,
+                "row": cell.row,
+                "col": cell.col,
+                "regions": {
+                    "boxes": cell_boxes,
+                    "boxes_original": cell_orig,
+                    "classes": cell_classes,
+                    "scores": cell_scores,
+                    "class_names": cell_names,
+                },
+            }
+        )
+    grid_info = {
+        "original_image_path": golden["image_path"],
+        "grid_config": {"rows": 2, "cols": 2, "overlap_percentage": 20.0},
+        "cells": cell_entries,
+    }
+    with open(os.path.join(json_dir, f"{base}_grid_2x2.json"), "w") as f:
+        json.dump(grid_info, f, indent=2)
+    return out_dir
+
+
+@pytest.fixture()
+def synthetic_stage1(golden_combined_dir, tmp_path):
+    path = golden_paths(golden_combined_dir)[0]
+    golden = load_json(path)
+    base = os.path.basename(path).replace("_combined.json", "")
+    stage1 = str(tmp_path / "1_doclayout_parsed")
+    synthesize_stage1_outputs(golden, base, stage1)
+    return golden, base, stage1, tmp_path
+
+
+class TestStage2:
+    def test_non_grid_passthrough(self, synthetic_stage1):
+        golden, base, stage1, tmp = synthetic_stage1
+        data = load_json(os.path.join(stage1, "json", f"{base}.json"))
+        assert edge_filter_regions(data) is data  # unchanged object
+
+    def test_grid_filtering_removes_internal_edge_boxes(self, synthetic_stage1):
+        golden, base, stage1, tmp = synthetic_stage1
+        grid = load_json(os.path.join(stage1, "json", f"{base}_grid_2x2.json"))
+        filtered = edge_filter_grid_info(grid, threshold=10)
+        assert filtered is not None
+        # Key-order quirk preserved
+        assert list(filtered.keys()) == ["original_image_path", "cells", "grid_config"]
+        before = sum(len(c["regions"]["boxes_original"]) for c in grid["cells"])
+        after = sum(len(c["regions"]["boxes_original"]) for c in filtered["cells"])
+        assert 0 < after <= before
+
+    def test_stage_driver(self, synthetic_stage1):
+        golden, base, stage1, tmp = synthetic_stage1
+        out = str(tmp / "2_edge_box_filtered")
+        stats = run_edge_filter_stage(stage1, out)
+        assert stats.processed == 2 and stats.errors == 0
+        assert os.path.exists(os.path.join(out, "json", f"{base}.json"))
+        assert os.path.exists(os.path.join(out, "json", f"{base}_grid_2x2.json"))
+
+
+class TestStage3:
+    def test_grouping(self, synthetic_stage1):
+        golden, base, stage1, tmp = synthetic_stage1
+        groups = group_jsons_by_image(stage1)
+        assert set(groups.keys()) == {base}
+        # base JSON first, then grid
+        assert groups[base][0].endswith(f"{base}.json")
+        assert groups[base][1].endswith("_grid_2x2.json")
+
+    def test_combine_matches_oracle(self, synthetic_stage1):
+        """Stage-3 output equals brute-force greedy NMS over the union of all
+        synthesized views' boxes."""
+        golden, base, stage1, tmp = synthetic_stage1
+        out = str(tmp / "3_combined")
+        stats = run_combine_stage(stage1, out)
+        assert stats.processed == 1
+        combined = load_json(os.path.join(out, "json", f"{base}_combined.json"))
+
+        # Build the oracle union in the same order the stage reads views.
+        groups = group_jsons_by_image(stage1)
+        union_boxes, union_scores, union_classes = [], [], []
+        for path in groups[base]:
+            data = load_json(path)
+            if "cells" in data:
+                for cell in data["cells"]:
+                    union_boxes += cell["regions"]["boxes_original"]
+                    union_scores += cell["regions"]["scores"]
+                    union_classes += cell["regions"]["classes"]
+            else:
+                union_boxes += data["boxes"]
+                union_scores += data["scores"]
+                union_classes += data["classes"]
+        keep = greedy_nms_np(
+            np.array(union_boxes), np.array(union_scores), np.array(union_classes), 0.5
+        )
+        want = [union_boxes[i] for i in keep]
+        assert combined["boxes"] == want
+        assert combined["parameters"] == {"iou_threshold": 0.5}
+        assert len(combined["source_jsons"]) == 2
+
+    def test_combined_against_golden_high_recall(self, synthetic_stage1):
+        """Recombining views synthesized *from* the golden must recover most
+        golden boxes exactly (some duplicates from overlap regions merge)."""
+        golden, base, stage1, tmp = synthetic_stage1
+        out = str(tmp / "3_combined_b")
+        run_combine_stage(stage1, out)
+        combined = load_json(os.path.join(out, "json", f"{base}_combined.json"))
+        golden_set = {tuple(b) for b in golden["boxes"]}
+        got_set = {tuple(b) for b in combined["boxes"]}
+        recall = len(golden_set & got_set) / len(golden_set)
+        assert recall > 0.95
+
+
+class TestStage45:
+    def test_median_stage(self, synthetic_stage1, golden_combined_dir):
+        golden, base, stage1, tmp = synthetic_stage1
+        out3 = str(tmp / "c3")
+        run_combine_stage(stage1, out3)
+        out4 = str(tmp / "c4")
+        stats = run_median_stage(out3, out4, require_image=False)
+        assert stats.processed == 1
+        med = load_json(
+            os.path.join(out4, "json", f"{base}_combined_median_width.json")
+        )
+        assert set(med.keys()) == {
+            "image_path",
+            "median_width",
+            "page_width",
+            "page_height",
+            "width_ratio",
+        }
+        assert med["median_width"] > 0
+        assert med["page_width"] == golden["image_size"]["width"]
+
+    def test_columns_stage(self, synthetic_stage1):
+        golden, base, stage1, tmp = synthetic_stage1
+        out3, out4, out5 = str(tmp / "d3"), str(tmp / "d4"), str(tmp / "d5")
+        run_combine_stage(stage1, out3)
+        run_median_stage(out3, out4, require_image=False)
+        stats = run_columns_stage(out3, out4, out5)
+        assert stats.processed == 1
+        cols = load_json(os.path.join(out5, "json", f"{base}_combined_columns.json"))
+        assert cols["num_columns"] == len(cols["column_centers"]) > 0
+        assert cols["median_width"] > 0
+        for c in cols["column_centers"]:
+            assert 0 <= c <= golden["image_size"]["width"]
+
+    def test_median_values_on_all_goldens(self, golden_combined_dir):
+        """Stage-4 math runs on every checked-in page and yields plausible
+        newspaper column widths (3-20% of page width when text exists)."""
+        for path in golden_paths(golden_combined_dir):
+            data = load_json(path)
+            if "plain_text" not in data["class_names"]:
+                continue
+            _, median, page_w, _ = median_width_for_json(path)
+            assert median > 0
+            assert 0.01 < median / page_w < 0.5, os.path.basename(path)
