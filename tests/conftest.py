@@ -6,12 +6,19 @@ test rig without real chips): flags must be set before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel plugin) and the
+# plugin wins over a later env-var override, so force CPU through the config
+# API. XLA_FLAGS must still be set before the CPU client is created.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

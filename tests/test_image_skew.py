@@ -1,0 +1,142 @@
+"""Image-kernel and skew-estimator tests (CPU backend via conftest)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_embeddings_tpu.ops.image import (
+    adaptive_threshold_gaussian,
+    crop_and_resize,
+    gaussian_blur,
+    letterbox,
+    resize_bilinear,
+    rgb_to_gray,
+    rotate_bound,
+    rotate_bound_shape,
+)
+from multimodal_embeddings_tpu.ops.skew import detect_skew
+
+cv2 = pytest.importorskip("cv2")
+
+
+def text_page(h=600, w=800, line_period=24, line_thickness=6, seed=0):
+    """Synthetic page: dark horizontal text-line bands on white."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 235.0, np.float32)
+    for y in range(40, h - 40, line_period):
+        x0 = rng.integers(30, 80)
+        x1 = w - rng.integers(30, 120)
+        img[y : y + line_thickness, x0:x1] = 30.0
+    return img
+
+
+class TestFilters:
+    def test_gray_matches_cv2(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+        got = np.asarray(rgb_to_gray(jnp.asarray(img, jnp.float32)))
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+        # cv2 rounds to uint8; allow 0.51 quantization difference
+        assert np.max(np.abs(got - want)) <= 0.51
+
+    def test_gaussian_blur_matches_cv2(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+        got = np.asarray(gaussian_blur(jnp.asarray(img), 5, 0.0))
+        want = cv2.GaussianBlur(img, (5, 5), 0)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_adaptive_threshold_matches_cv2(self):
+        img = text_page()
+        got = np.asarray(
+            adaptive_threshold_gaussian(jnp.asarray(img), block_size=11, c=2.0)
+        )
+        want = cv2.adaptiveThreshold(
+            img.astype(np.uint8),
+            255,
+            cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+            cv2.THRESH_BINARY_INV,
+            11,
+            2,
+        ).astype(np.float32)
+        # Disagreement only possible at near-threshold pixels (uint8 rounding)
+        agreement = np.mean(got == want)
+        assert agreement > 0.98
+
+
+class TestWarps:
+    def test_resize_matches_cv2_bilinear(self):
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 255, (100, 140)).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.asarray(img), 50, 70))
+        want = cv2.resize(img, (70, 50), interpolation=cv2.INTER_LINEAR)
+        # Interiors match; borders differ by clamp convention.
+        np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2], atol=1e-2)
+
+    def test_rotate_bound_shape_matches_reference_convention(self):
+        assert rotate_bound_shape(100, 200, 90) == (200, 100)
+        h, w = rotate_bound_shape(100, 200, 30)
+        assert h == int(100 * np.cos(np.radians(30)) + 200 * np.sin(np.radians(30)))
+        assert w == int(100 * np.sin(np.radians(30)) + 200 * np.cos(np.radians(30)))
+
+    def test_rotate_roundtrip_preserves_content(self):
+        img = text_page(300, 400)
+        rot = np.asarray(rotate_bound(jnp.asarray(img), 7.0))
+        back = np.asarray(rotate_bound(jnp.asarray(rot), -7.0))
+        # Center crop comparison (canvas grew twice)
+        ch, cw = img.shape[0] // 2, img.shape[1] // 2
+        bh, bw = back.shape[0] // 2, back.shape[1] // 2
+        crop_img = img[ch - 80 : ch + 80, cw - 80 : cw + 80]
+        crop_back = back[bh - 80 : bh + 80, bw - 80 : bw + 80]
+        corr = np.corrcoef(crop_img.ravel(), crop_back.ravel())[0, 1]
+        assert corr > 0.95
+
+    def test_letterbox_geometry(self):
+        img = jnp.zeros((100, 200, 3))
+        canvas, scale, (top, left) = letterbox(img, 256)
+        assert canvas.shape == (256, 256, 3)
+        assert scale == 256 / 200
+        assert top == (256 - int(round(100 * scale))) // 2 and left == 0
+        # padding value present at corners
+        assert float(canvas[0, 0, 0]) == 114.0
+
+    def test_crop_and_resize_shapes_and_content(self):
+        img = np.zeros((200, 300, 3), np.float32)
+        img[50:100, 100:200] = 200.0
+        boxes = jnp.asarray([[100, 50, 200, 100], [0, 0, 10, 10]], jnp.float32)
+        crops = np.asarray(crop_and_resize(jnp.asarray(img), boxes, out_size=64))
+        assert crops.shape == (2, 64, 64, 3)
+        assert crops[0].mean() > 150  # bright region crop
+        assert crops[1].mean() < 10  # dark corner crop
+
+
+class TestSkew:
+    @pytest.mark.parametrize("true_angle", [-6.0, -2.5, 2.0, 5.0, 11.0])
+    def test_detects_known_rotation(self, true_angle):
+        page = text_page(700, 900)
+        # Rotate the page content by true_angle using our own rotate (sign
+        # convention fixed by the roundtrip test below).
+        rotated = np.asarray(rotate_bound(jnp.asarray(page), true_angle))
+        est = detect_skew(rotated)
+        assert est is not None
+        # Correction contract: rotate_bound(rotated, est) must restore
+        # horizontal lines, i.e. est ≈ -true_angle.
+        assert abs(est - (-true_angle)) < 0.3, (true_angle, est)
+
+    def test_clean_page_near_zero(self):
+        est = detect_skew(text_page(700, 900))
+        assert est is not None and abs(est) < 0.3
+
+    def test_featureless_image_rejected(self):
+        flat = np.full((400, 400), 128.0, np.float32)
+        assert detect_skew(flat) is None
+
+    def test_correction_roundtrip(self):
+        """End contract: applying rotate_bound with the detected angle makes
+        the page's text lines horizontal again."""
+        page = text_page(700, 900)
+        skewed = np.asarray(rotate_bound(jnp.asarray(page), 4.0))
+        est = detect_skew(skewed)
+        corrected = np.asarray(rotate_bound(jnp.asarray(skewed), est))
+        assert abs(detect_skew(corrected)) < 0.3
