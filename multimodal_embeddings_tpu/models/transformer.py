@@ -1,0 +1,300 @@
+"""Shared transformer primitives (Flax, TPU-first).
+
+Used by the vision/text dual encoder (``vision_encoder.py``) and the
+Mllama-style mmE5 parity model (``mme5.py``). Everything is static-shape,
+NHWC/NLD, bf16-compute friendly, and shardable: attention heads and MLP
+hidden dims carry ``nn.with_logical_partitioning`` axis names that the
+parallel layer maps onto the (data, model) mesh for tensor parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Logical axis names resolved by parallel/sharding.py
+EMBED = "embed"
+HEADS = "heads"
+KV_HEADS = "kv_heads"
+HEAD_DIM = "head_dim"
+MLP = "mlp"
+VOCAB = "vocab"
+
+
+def _dense_init():
+    return nn.initializers.normal(stddev=0.02)
+
+
+class RMSNorm(nn.Module):
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        normed = x32 * jax.lax.rsqrt(var + self.epsilon)
+        return (normed * scale).astype(self.dtype)
+
+
+def rope_frequencies(head_dim: int, max_len: int, theta: float = 500000.0):
+    """Llama-3-style RoPE tables (cos, sin) of shape (max_len, head_dim//2)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, L, H, D); rotate pairs (x[..., :D/2], x[..., D/2:])."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[None, : x.shape[1], None, :]
+    sin = sin[None, : x.shape[1], None, :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def sdpa(
+    q: jnp.ndarray,  # (B, Lq, H, D)
+    k: jnp.ndarray,  # (B, Lk, KVH, D)
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,  # (B, 1, Lq, Lk) additive or bool
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with GQA head-broadcast; f32 softmax.
+
+    XLA fuses this pattern well on TPU; the Pallas flash-attention kernel in
+    ``kernels/flash_attention.py`` is a drop-in for long sequences.
+    """
+    b, lq, h, d = q.shape
+    kvh = k.shape[2]
+    if kvh != h:
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum(
+        "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(d).astype(jnp.float32)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((lq, k.shape[1]), bool))
+        logits = jnp.where(causal_mask[None, None], logits, -1e30)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, -1e30)
+        else:
+            logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhlm,bmhd->blhd", probs, v)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional GQA, RoPE and cross-attention."""
+
+    num_heads: int
+    head_dim: int
+    num_kv_heads: Optional[int] = None
+    use_rope: bool = False
+    use_qk_norm: bool = False
+    rope_theta: float = 500000.0
+    max_len: int = 4096
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+    ):
+        kv = x if kv is None else kv
+        kvh = self.num_kv_heads or self.num_heads
+        dense = lambda feat, name, axes: nn.DenseGeneral(  # noqa: E731
+            features=feat,
+            axis=-1,
+            use_bias=False,
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED,) + axes),
+            dtype=self.dtype,
+            name=name,
+        )
+        q = dense((self.num_heads, self.head_dim), "q", (HEADS, HEAD_DIM))(x)
+        k = dense((kvh, self.head_dim), "k", (KV_HEADS, HEAD_DIM))(kv)
+        v = dense((kvh, self.head_dim), "v", (KV_HEADS, HEAD_DIM))(kv)
+        if self.use_qk_norm:
+            q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
+            k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
+        if self.use_rope:
+            cos, sin = rope_frequencies(self.head_dim, self.max_len, self.rope_theta)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        out = sdpa(q, k, v, mask=mask, causal=causal)
+        return nn.DenseGeneral(
+            features=x.shape[-1],
+            axis=(-2, -1),
+            use_bias=False,
+            kernel_init=nn.with_logical_partitioning(
+                _dense_init(), (HEADS, HEAD_DIM, EMBED)
+            ),
+            dtype=self.dtype,
+            name="o",
+        )(out)
+
+
+class SwiGLU(nn.Module):
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.Dense(
+            self.hidden_dim,
+            use_bias=False,
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
+            dtype=self.dtype,
+            name="gate",
+        )(x)
+        up = nn.Dense(
+            self.hidden_dim,
+            use_bias=False,
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
+            dtype=self.dtype,
+            name="up",
+        )(x)
+        return nn.Dense(
+            x.shape[-1],
+            use_bias=False,
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (MLP, EMBED)),
+            dtype=self.dtype,
+            name="down",
+        )(nn.silu(gate) * up)
+
+
+class GeluMLP(nn.Module):
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(
+            self.hidden_dim,
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(
+            x.shape[-1],
+            kernel_init=nn.with_logical_partitioning(_dense_init(), (MLP, EMBED)),
+            dtype=self.dtype,
+            name="fc2",
+        )(h)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN ViT/BERT-style block (LayerNorm + MHA + GELU MLP)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        d = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            head_dim=d // self.num_heads,
+            dtype=self.dtype,
+            name="attn",
+        )(h, mask=mask)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = GeluMLP(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        return x + h
+
+
+class LlamaBlock(nn.Module):
+    """Llama-3 decoder block: RMSNorm + GQA-RoPE attention + SwiGLU."""
+
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    mlp_hidden: int
+    max_len: int = 4096
+    rope_theta: float = 500000.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        h = RMSNorm(dtype=self.dtype, name="attn_norm")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            use_rope=True,
+            max_len=self.max_len,
+            rope_theta=self.rope_theta,
+            dtype=self.dtype,
+            name="attn",
+        )(h, mask=mask, causal=True)
+        x = x + h
+        h = RMSNorm(dtype=self.dtype, name="mlp_norm")(x)
+        h = SwiGLU(self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        return x + h
+
+
+class CrossAttentionBlock(nn.Module):
+    """Mllama-style gated cross-attention decoder block: the text stream
+    attends to vision states through tanh-gated residuals."""
+
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    mlp_hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        vision_states: jnp.ndarray,
+        cross_mask: Optional[jnp.ndarray] = None,
+    ):
+        attn_gate = self.param("attn_gate", nn.initializers.zeros, (1,))
+        mlp_gate = self.param("mlp_gate", nn.initializers.zeros, (1,))
+        h = RMSNorm(dtype=self.dtype, name="attn_norm")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            use_qk_norm=True,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(h, kv=vision_states, mask=cross_mask)
+        x = x + jnp.tanh(attn_gate) * h
+        h = RMSNorm(dtype=self.dtype, name="mlp_norm")(x)
+        h = SwiGLU(self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        return x + jnp.tanh(mlp_gate) * h
+
+
+def last_token_pool(
+    hidden: jnp.ndarray, attention_mask: jnp.ndarray, normalize: bool = True
+) -> jnp.ndarray:
+    """The mmE5 embedding contract (``embedder.py:17-34``): take the hidden
+    state at index ``sum(attention_mask) - 1`` per row, optionally
+    L2-normalize."""
+    idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    pooled = jnp.take_along_axis(
+        hidden, idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    if normalize:
+        pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True).clip(1e-12)
+    return pooled
