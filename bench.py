@@ -1,0 +1,196 @@
+"""End-to-end benchmark: pages/sec/chip for the fused detect→embed pipeline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "pages/sec/chip", "vs_baseline": N}
+
+Workload (per BASELINE.md): one page → 30 detection views (full + 2x2 +
+3x3 + 4x4 grids at 20% overlap, imgsz 1024, DocLayout-YOLO "m") → top-48
+region crops → region embeddings (ViT-B/16 @ 448), everything fused into
+one XLA program per page (``pipeline/fused.py``).
+
+``vs_baseline`` divides by the measured CPU pages/sec stored in
+``BASELINE_CPU.json`` (the reference publishes no numbers — BASELINE.md
+requires a measured CPU denominator; regenerate with
+``python bench.py --measure-cpu-baseline``).
+
+Flags: ``--pages N`` timed pages (default 8), ``--quick`` (tiny models, CI
+smoke), ``--measure-cpu-baseline`` (CPU run; extrapolates from a reduced
+workload, see ``_cpu_baseline``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _setup_jax() -> None:
+    """Keep the CPU backend available next to the TPU plugin (host-side
+    param init) and enable the persistent compilation cache so driver reruns
+    skip the multi-minute tunnel compiles."""
+    import jax
+
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms:
+        jax.config.update("jax_platforms", platforms + ",cpu")
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def make_page(height: int, width: int, seed: int = 0) -> np.ndarray:
+    """Deterministic synthetic newspaper-like page (text-line bands in
+    columns over paper background)."""
+    rng = np.random.default_rng(seed)
+    page = np.full((height, width, 3), 232, np.uint8)
+    n_cols = 6
+    col_w = width // n_cols
+    for c in range(n_cols):
+        x0 = c * col_w + col_w // 10
+        x1 = (c + 1) * col_w - col_w // 10
+        y = 40
+        while y < height - 40:
+            lh = int(rng.integers(8, 14))
+            page[y : y + lh, x0:x1] = int(rng.integers(20, 60))
+            y += lh + int(rng.integers(6, 12))
+    return page
+
+
+def build_pipeline(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_embeddings_tpu.config import DetectorConfig, EmbedderConfig
+    from multimodal_embeddings_tpu.models.detector import LayoutDetector
+    from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+    from multimodal_embeddings_tpu.models.vision_encoder import (
+        DualEncoderConfig,
+        TextConfig,
+        VisionConfig,
+    )
+    from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
+
+    if quick:
+        det_cfg = DetectorConfig(image_size=256, variant="n", grid_configs=((2, 2),))
+        enc_cfg = DualEncoderConfig.tiny()
+        page_hw = (800, 600)
+        n_regions = 8
+    else:
+        det_cfg = DetectorConfig(image_size=1024, variant="m")
+        enc_cfg = DualEncoderConfig(
+            vision=VisionConfig(image_size=448, patch_size=16, width=768, layers=12, heads=12),
+            text=TextConfig(),
+            embed_dim=768,
+        )
+        page_hw = (2200, 1700)
+        n_regions = 48
+
+    detector = LayoutDetector(det_cfg, dtype=jnp.bfloat16)
+    embedder = MultimodalEmbedder(
+        EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
+    )
+    fused = build_fused_page_fn(detector, embedder, page_hw, num_regions=n_regions)
+    return fused, page_hw, n_regions
+
+
+def run_bench(pages: int, quick: bool) -> dict:
+    import jax
+
+    fused, page_hw, n_regions = build_pipeline(quick)
+    page = make_page(*page_hw)
+
+    import jax.numpy as jnp
+
+    page_dev = jnp.asarray(page)
+    # compile + 2 warmup runs
+    result = fused(page_dev)
+    jax.block_until_ready(result)
+    result = fused(page_dev)
+    jax.block_until_ready(result)
+
+    start = time.perf_counter()
+    for i in range(pages):
+        result = fused(page_dev)
+    jax.block_until_ready(result)
+    elapsed = time.perf_counter() - start
+
+    pages_per_sec = pages / elapsed
+    return {
+        "pages_per_sec": pages_per_sec,
+        "elapsed_s": elapsed,
+        "pages": pages,
+        "page_hw": page_hw,
+        "n_regions": n_regions,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _cpu_baseline(path: str) -> None:
+    """Measure the CPU denominator: the same workload on the CPU backend.
+
+    One full fused page is timed directly (no extrapolation); result is
+    written to BASELINE_CPU.json.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    info = run_bench(pages=1, quick=False)
+    out = {
+        "pages_per_sec_cpu": info["pages_per_sec"],
+        "methodology": (
+            "identical fused detect(30 views @1024, yolov10m)+embed(48 crops "
+            "@448, vit-b/16) workload on the CPU backend, 1 timed page after "
+            "compile+2 warmups"
+        ),
+        "measured": time.strftime("%Y-%m-%d"),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pages", type=int, default=8)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--measure-cpu-baseline", action="store_true")
+    args = parser.parse_args()
+    _setup_jax()
+
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".", "BASELINE_CPU.json")
+    if args.measure_cpu_baseline:
+        _cpu_baseline(baseline_path)
+        return
+
+    info = run_bench(args.pages, args.quick)
+
+    vs_baseline = None
+    if os.path.exists(baseline_path) and not args.quick:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        cpu = baseline.get("pages_per_sec_cpu")
+        if cpu:
+            vs_baseline = info["pages_per_sec"] / cpu
+
+    print(
+        json.dumps(
+            {
+                "metric": "pages/sec/chip end-to-end (detect 30 views @1024 "
+                "yolov10m + embed 48 regions @448 vit-b), fused single "
+                "XLA program",
+                "value": round(info["pages_per_sec"], 4),
+                "unit": "pages/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

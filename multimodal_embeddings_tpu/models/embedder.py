@@ -228,5 +228,7 @@ class MultimodalEmbedder:
 
 
 def deterministic_init_multi(model, example_args, seed: int = 0):
+    from multimodal_embeddings_tpu.models.weights import init_on_host
+
     rng = jax.random.PRNGKey(seed)
-    return model.init({"params": rng}, *example_args)
+    return init_on_host(lambda: model.init({"params": rng}, *example_args))

@@ -27,10 +27,35 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 logger = get_logger("weights")
 
 
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+def init_on_host(init_fn) -> Dict:
+    """Run an init function on the CPU backend when available and return
+    host (numpy) arrays. Avoids minute-long parameter initialization through
+    the TPU tunnel; the first jitted call uploads the tree in one transfer.
+    (Cross-backend ``device_put`` over the tunnel is pathologically slow, so
+    values go through numpy instead.)"""
+    cpu = _cpu_device()
+    if cpu is None:
+        return init_fn()
+    with jax.default_device(cpu):
+        variables = init_fn()
+    return jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
+        variables,
+        is_leaf=lambda x: hasattr(x, "dtype"),
+    )
+
+
 def deterministic_init(model, example_input, seed: int = 0, **kwargs) -> Dict:
     """Initialize variables with a fixed seed (reproducible across runs)."""
     rng = jax.random.PRNGKey(seed)
-    return model.init({"params": rng}, example_input, **kwargs)
+    return init_on_host(lambda: model.init({"params": rng}, example_input, **kwargs))
 
 
 def flatten_params(variables: Dict) -> Dict[str, np.ndarray]:

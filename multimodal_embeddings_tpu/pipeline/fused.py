@@ -1,0 +1,142 @@
+"""Fused page pipeline: page in → boxes + region embeddings out, ONE XLA
+program.
+
+This is the TPU-first replacement for the reference's hot path, which per
+page runs ~30 sequential YOLO predicts (``1_doclayout_bboxes.py:749-768``)
+then one 11B forward *per region crop* (``embedder.py:104-137``), crossing
+the host/device boundary hundreds of times. Here a single jitted function:
+
+1. extracts all grid views of the page with the gather-based
+   ``crop_and_resize`` kernel (on device),
+2. runs the detector forward + DFL decode + batched NMS over all views as
+   one batch,
+3. translates per-view detections into page coordinates and selects the
+   top-K regions by score across views (static K),
+4. crops those K regions from the full-resolution page (on device) and
+5. embeds them with the vision tower in one batch,
+
+with exactly two host↔device transfers per page (page upload, results
+download). All shapes are static per (page-shape bucket, grid set, K).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_embeddings_tpu.models.detector import LayoutDetector
+from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+from multimodal_embeddings_tpu.models.yolo_decode import decode_predictions
+from multimodal_embeddings_tpu.ops.grid import grid_cells
+from multimodal_embeddings_tpu.ops.image import crop_and_resize
+
+
+class PageResult(NamedTuple):
+    boxes: jnp.ndarray  # (K, 4) page-coordinate xyxy
+    scores: jnp.ndarray  # (K,)
+    classes: jnp.ndarray  # (K,) int32
+    valid: jnp.ndarray  # (K,) bool
+    embeddings: jnp.ndarray  # (K, D) L2-normalized region embeddings
+
+
+def view_boxes_for_page(
+    width: int, height: int, grids: Sequence[Tuple[int, int]], overlap: float
+) -> np.ndarray:
+    """Static (V, 4) xyxy view rectangles: full page + every grid cell."""
+    boxes = [[0.0, 0.0, float(width), float(height)]]
+    for rows, cols in grids:
+        for cell in grid_cells(width, height, rows, cols, overlap):
+            boxes.append([cell.x_start, cell.y_start, cell.x_end, cell.y_end])
+    return np.asarray(boxes, np.float32)
+
+
+def build_fused_page_fn(
+    detector: LayoutDetector,
+    embedder: MultimodalEmbedder,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+):
+    """Compile the fused page function for a fixed page-shape bucket.
+
+    Returns ``fn(page_uint8) -> PageResult`` (jitted, reusable for every
+    page of that shape).
+    """
+    height, width = page_hw
+    views = view_boxes_for_page(
+        width, height, detector.config.grid_configs, detector.config.overlap_percentage
+    )
+    det_size = detector.config.image_size
+    emb_size = embedder.image_size
+    det_model = detector.model
+    det_vars = detector.variables
+    emb_image_fn_model = embedder.model
+    emb_vars = embedder.variables
+    conf = detector.config.conf_threshold
+    iou = detector.config.iou_threshold
+    max_det = detector.config.max_detections
+    family = embedder.config.family
+
+    views_j = jnp.asarray(views)
+    # per-view scale from detector-input pixels back to page pixels
+    view_w = views[:, 2] - views[:, 0]
+    view_h = views[:, 3] - views[:, 1]
+    sx = jnp.asarray(view_w / det_size)
+    sy = jnp.asarray(view_h / det_size)
+    ox = jnp.asarray(views[:, 0])
+    oy = jnp.asarray(views[:, 1])
+
+    if family == "mme5":
+        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+            [embedder.config.prompt], embedder.text_len
+        )
+        prompt_ids = jnp.asarray(prompt_ids)
+        prompt_mask = jnp.asarray(prompt_mask)
+
+    @jax.jit
+    def fused(page: jnp.ndarray) -> PageResult:
+        pagef = page.astype(jnp.float32)
+        # 1. all views, resampled on device (aspect-squeeze resize; the
+        # standalone CLI path letterboxes instead — detection-equivalent
+        # at these aspect ratios and strictly cheaper on HBM)
+        view_imgs = crop_and_resize(pagef, views_j, out_size=det_size) / 255.0
+        # 2. detect all views as one batch
+        outputs = det_model.apply(det_vars, view_imgs, train=False)
+        det = decode_predictions(
+            outputs,
+            max_det=max_det,
+            conf_threshold=conf,
+            iou_threshold=iou,
+            with_nms=True,
+        )
+        # 3. to page coordinates
+        boxes = det.boxes  # (V, max_det, 4) in det-input pixels
+        px1 = boxes[..., 0] * sx[:, None] + ox[:, None]
+        py1 = boxes[..., 1] * sy[:, None] + oy[:, None]
+        px2 = boxes[..., 2] * sx[:, None] + ox[:, None]
+        py2 = boxes[..., 3] * sy[:, None] + oy[:, None]
+        page_boxes = jnp.stack([px1, py1, px2, py2], axis=-1).reshape(-1, 4)
+        flat_scores = jnp.where(det.valid, det.scores, -1.0).reshape(-1)
+        flat_classes = det.classes.reshape(-1)
+
+        top_scores, top_idx = jax.lax.top_k(flat_scores, num_regions)
+        top_boxes = page_boxes[top_idx]
+        top_classes = flat_classes[top_idx]
+        top_valid = top_scores > 0
+
+        # 4-5. crop regions from the full-res page and embed in one batch
+        crops = crop_and_resize(pagef, top_boxes, out_size=emb_size) / 255.0
+        if family == "mme5":
+            ids = jnp.broadcast_to(prompt_ids, (num_regions, prompt_ids.shape[1]))
+            mask = jnp.broadcast_to(prompt_mask, (num_regions, prompt_mask.shape[1]))
+            emb = emb_image_fn_model.apply(emb_vars, ids, mask, crops)
+        else:
+            emb = emb_image_fn_model.apply(
+                emb_vars, crops, method=emb_image_fn_model.encode_image
+            )
+        return PageResult(top_boxes, top_scores, top_classes, top_valid, emb)
+
+    return fused

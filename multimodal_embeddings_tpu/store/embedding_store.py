@@ -1,0 +1,339 @@
+"""Embedding store: exact cosine top-k retrieval with metadata filters.
+
+Replaces ChromaDB/hnswlib (``db_operations.py:17-61``). At this corpus
+scale (~20 pages, 10³-10⁵ regions) an *exact* brute-force cosine top-k as a
+single matmul + ``top_k`` on TPU strictly dominates an approximate HNSW
+walk on CPU, so the reference's HNSW parameters (M=32, ef=200) are recorded
+as collection metadata only. Distances returned are **cosine distances**
+(1 − cosine similarity), matching what the reference reads back from
+Chroma (``weighted_region_clustering.py:224``).
+
+API kept drop-in close to the reference's usage sites:
+
+* ``initialize_db(path) -> (client, collection)``
+  (``db_operations.py:17-61``),
+* ``collection.upsert/get/query/count`` with ``where`` filters supporting
+  ``{"field": {"$eq": v}}``, ``{"field": v}``, ``{"$and": [...]}`` — the
+  forms the reference actually uses (``is_region``, ``parent_image_name``),
+* ``get_embedding_from_db(collection, id)`` (``db_operations.py:65-85``).
+
+Persistence: ``embeddings.npy`` + ``metadata.jsonl`` + ``ids.json`` per
+collection directory, written atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+
+logger = get_logger("store")
+
+DEFAULT_COLLECTION = "newspaper_image_embeddings"
+HNSW_COMPAT_METADATA = {
+    "hnsw:space": "cosine",
+    "hnsw:M": 32,
+    "hnsw:construction_ef": 200,
+    "hnsw:search_ef": 200,
+}
+
+
+def _matches(meta: Dict[str, Any], where: Optional[Dict[str, Any]]) -> bool:
+    if not where:
+        return True
+    for key, cond in where.items():
+        if key == "$and":
+            if not all(_matches(meta, c) for c in cond):
+                return False
+        elif key == "$or":
+            if not any(_matches(meta, c) for c in cond):
+                return False
+        elif isinstance(cond, dict):
+            for op, val in cond.items():
+                value = meta.get(key)
+                if op == "$eq" and value != val:
+                    return False
+                if op == "$ne" and value == val:
+                    return False
+                if op == "$in" and value not in val:
+                    return False
+        else:
+            if meta.get(key) != cond:
+                return False
+    return True
+
+
+class Collection:
+    """One named embedding collection with exact cosine retrieval."""
+
+    def __init__(self, path: str, name: str, metadata: Optional[Dict] = None):
+        self.path = os.path.join(path, name)
+        self.name = name
+        self.metadata = dict(metadata or HNSW_COMPAT_METADATA)
+        self._lock = threading.RLock()
+        self._ids: List[str] = []
+        self._id_index: Dict[str, int] = {}
+        self._embeddings: Optional[np.ndarray] = None  # (N, D) float32
+        self._metadatas: List[Dict[str, Any]] = []
+        self._device_cache = None
+        self._load()
+
+    # -- persistence --------------------------------------------------------
+
+    def _load(self) -> None:
+        emb_path = os.path.join(self.path, "embeddings.npy")
+        if not os.path.exists(emb_path):
+            return
+        self._embeddings = np.load(emb_path)
+        with open(os.path.join(self.path, "ids.json")) as f:
+            self._ids = json.load(f)
+        self._metadatas = []
+        with open(os.path.join(self.path, "metadata.jsonl")) as f:
+            for line in f:
+                self._metadatas.append(json.loads(line))
+        self._id_index = {i: n for n, i in enumerate(self._ids)}
+        logger.info(
+            "loaded collection %s: %d embeddings", self.name, len(self._ids)
+        )
+
+    def persist(self) -> None:
+        with self._lock:
+            os.makedirs(self.path, exist_ok=True)
+            if self._embeddings is None:
+                return
+            tmp = os.path.join(self.path, ".tmp_embeddings.npy")
+            np.save(tmp, self._embeddings)
+            os.replace(tmp, os.path.join(self.path, "embeddings.npy"))
+            tmp = os.path.join(self.path, ".tmp_ids.json")
+            with open(tmp, "w") as f:
+                json.dump(self._ids, f)
+            os.replace(tmp, os.path.join(self.path, "ids.json"))
+            tmp = os.path.join(self.path, ".tmp_metadata.jsonl")
+            with open(tmp, "w") as f:
+                for m in self._metadatas:
+                    f.write(json.dumps(m) + "\n")
+            os.replace(tmp, os.path.join(self.path, "metadata.jsonl"))
+
+    # -- mutation -----------------------------------------------------------
+
+    def upsert(
+        self,
+        ids: Sequence[str],
+        embeddings: Sequence[Sequence[float]],
+        metadatas: Optional[Sequence[Dict[str, Any]]] = None,
+        documents: Optional[Sequence[str]] = None,
+    ) -> None:
+        with self._lock:
+            embs = np.asarray(embeddings, np.float32)
+            if embs.ndim == 1:
+                embs = embs[None]
+            metadatas = list(metadatas or [{} for _ in ids])
+            if documents is not None:
+                for m, d in zip(metadatas, documents):
+                    m.setdefault("document", d)
+            new_rows = []
+            for i, (item_id, emb) in enumerate(zip(ids, embs)):
+                if item_id in self._id_index:
+                    idx = self._id_index[item_id]
+                    self._embeddings[idx] = emb
+                    self._metadatas[idx] = dict(metadatas[i])
+                else:
+                    self._id_index[item_id] = len(self._ids) + len(new_rows)
+                    new_rows.append((item_id, emb, dict(metadatas[i])))
+            if new_rows:
+                add = np.stack([r[1] for r in new_rows])
+                self._embeddings = (
+                    add
+                    if self._embeddings is None
+                    else np.concatenate([self._embeddings, add])
+                )
+                self._ids.extend(r[0] for r in new_rows)
+                self._metadatas.extend(r[2] for r in new_rows)
+            self._device_cache = None
+            self.persist()
+
+    def delete(self, ids: Sequence[str]) -> None:
+        with self._lock:
+            drop = {i for i in ids if i in self._id_index}
+            if not drop:
+                return
+            keep = [n for n, i in enumerate(self._ids) if i not in drop]
+            self._embeddings = self._embeddings[keep] if len(keep) else None
+            self._ids = [self._ids[n] for n in keep]
+            self._metadatas = [self._metadatas[n] for n in keep]
+            self._id_index = {i: n for n, i in enumerate(self._ids)}
+            self._device_cache = None
+            self.persist()
+
+    # -- reads --------------------------------------------------------------
+
+    def count(self) -> int:
+        return len(self._ids)
+
+    def get(
+        self,
+        ids: Optional[Sequence[str]] = None,
+        where: Optional[Dict] = None,
+        include: Sequence[str] = ("metadatas",),
+        limit: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        with self._lock:
+            if ids is not None:
+                idxs = [self._id_index[i] for i in ids if i in self._id_index]
+            else:
+                idxs = [
+                    n
+                    for n, m in enumerate(self._metadatas)
+                    if _matches(m, where)
+                ]
+            if limit is not None:
+                idxs = idxs[:limit]
+            out: Dict[str, Any] = {"ids": [self._ids[n] for n in idxs]}
+            if "embeddings" in include and self._embeddings is not None:
+                out["embeddings"] = [self._embeddings[n].tolist() for n in idxs]
+            elif "embeddings" in include:
+                out["embeddings"] = []
+            if "metadatas" in include:
+                out["metadatas"] = [self._metadatas[n] for n in idxs]
+            return out
+
+    def _device_embeddings(self):
+        """Unit-normalized corpus matrix cached on device."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            if self._device_cache is None:
+                norms = np.linalg.norm(self._embeddings, axis=1, keepdims=True)
+                normed = self._embeddings / np.clip(norms, 1e-12, None)
+                self._device_cache = jnp.asarray(normed)
+            return self._device_cache
+
+    def query(
+        self,
+        query_embeddings: Sequence[Sequence[float]],
+        n_results: int = 10,
+        where: Optional[Dict] = None,
+        include: Sequence[str] = ("metadatas", "distances"),
+    ) -> Dict[str, Any]:
+        """Exact cosine top-k on device: one fused matmul + mask + top_k for
+        the whole query batch (replaces per-query HNSW walks)."""
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:
+            n = len(self._ids)
+            if n == 0:
+                empty = [[] for _ in query_embeddings]
+                return {"ids": empty, "distances": empty, "metadatas": empty}
+            corpus = self._device_embeddings()
+            mask = np.fromiter(
+                (_matches(m, where) for m in self._metadatas), bool, count=n
+            )
+            metadatas = list(self._metadatas)
+            ids = list(self._ids)
+
+        q = np.asarray(query_embeddings, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+
+        k = min(n_results, int(mask.sum()))
+        if k == 0:
+            empty = [[] for _ in range(q.shape[0])]
+            return {"ids": empty, "distances": empty, "metadatas": empty}
+
+        sims = _masked_topk(corpus, jnp.asarray(qn), jnp.asarray(mask), k)
+        top_sims, top_idx = (np.asarray(sims[0]), np.asarray(sims[1]))
+
+        out: Dict[str, Any] = {
+            "ids": [[ids[j] for j in row] for row in top_idx],
+        }
+        if "distances" in include:
+            out["distances"] = (1.0 - top_sims).tolist()
+        if "metadatas" in include:
+            out["metadatas"] = [[metadatas[j] for j in row] for row in top_idx]
+        if "embeddings" in include:
+            with self._lock:
+                out["embeddings"] = [
+                    [self._embeddings[j].tolist() for j in row] for row in top_idx
+                ]
+        return out
+
+
+def _masked_topk(corpus, queries, mask, k: int):
+    """(N,D) corpus × (Q,D) queries → top-k similarities/indices among
+    mask-true rows. Jitted per (N, Q, k) shape."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(corpus, queries, mask):
+        sims = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(mask[None, :], sims, -2.0)  # cosine floor is -1
+        return jax.lax.top_k(sims, k)
+
+    return run(corpus, queries, mask)
+
+
+class Client:
+    """Minimal persistent client (ChromaDB-shaped)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._collections: Dict[str, Collection] = {}
+
+    def get_or_create_collection(
+        self, name: str, metadata: Optional[Dict] = None
+    ) -> Collection:
+        if name not in self._collections:
+            self._collections[name] = Collection(self.path, name, metadata)
+        return self._collections[name]
+
+    def delete_collection(self, name: str) -> None:
+        import shutil
+
+        self._collections.pop(name, None)
+        target = os.path.join(self.path, name)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+
+    def list_collections(self) -> List[str]:
+        stored = [
+            d
+            for d in os.listdir(self.path)
+            if os.path.isdir(os.path.join(self.path, d))
+        ]
+        return sorted(set(stored) | set(self._collections))
+
+
+def initialize_db(
+    path: str = "db", collection_name: str = DEFAULT_COLLECTION
+) -> Tuple[Client, Collection]:
+    """Reference-shaped entry point (``db_operations.py:17-61``)."""
+    client = Client(path)
+    collection = client.get_or_create_collection(
+        collection_name, metadata=HNSW_COMPAT_METADATA
+    )
+    logger.info(
+        "store ready at %s, collection %r (%d items)",
+        path,
+        collection_name,
+        collection.count(),
+    )
+    return client, collection
+
+
+def get_embedding_from_db(collection: Collection, item_id: str) -> Optional[List[float]]:
+    """Fetch one embedding with validity check (``db_operations.py:65-85``)."""
+    result = collection.get(ids=[item_id], include=("embeddings",))
+    if result["ids"] and result.get("embeddings"):
+        emb = result["embeddings"][0]
+        if emb and len(emb) > 0:
+            return emb
+    return None

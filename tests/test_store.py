@@ -1,0 +1,134 @@
+"""Embedding store tests: CRUD, filters, exact top-k, persistence."""
+
+import numpy as np
+import pytest
+
+from multimodal_embeddings_tpu.store.embedding_store import (
+    Client,
+    get_embedding_from_db,
+    initialize_db,
+)
+
+
+def unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture()
+def collection(tmp_path):
+    _, col = initialize_db(str(tmp_path / "db"))
+    return col
+
+
+class TestCRUD:
+    def test_upsert_get_count(self, collection):
+        collection.upsert(
+            ids=["a", "b"],
+            embeddings=[unit([1, 0, 0]), unit([0, 1, 0])],
+            metadatas=[{"is_region": False}, {"is_region": True}],
+        )
+        assert collection.count() == 2
+        got = collection.get(ids=["a"], include=("embeddings", "metadatas"))
+        assert got["ids"] == ["a"]
+        np.testing.assert_allclose(got["embeddings"][0], [1, 0, 0])
+        assert got["metadatas"][0] == {"is_region": False}
+
+    def test_upsert_overwrites(self, collection):
+        collection.upsert(ids=["a"], embeddings=[unit([1, 0, 0])])
+        collection.upsert(ids=["a"], embeddings=[unit([0, 0, 1])])
+        assert collection.count() == 1
+        emb = get_embedding_from_db(collection, "a")
+        np.testing.assert_allclose(emb, [0, 0, 1])
+
+    def test_get_missing(self, collection):
+        assert get_embedding_from_db(collection, "nope") is None
+
+    def test_delete(self, collection):
+        collection.upsert(ids=["a", "b"], embeddings=[unit([1, 0, 0]), unit([0, 1, 0])])
+        collection.delete(["a"])
+        assert collection.count() == 1
+        assert collection.get()["ids"] == ["b"]
+
+    def test_persistence_roundtrip(self, tmp_path):
+        _, col = initialize_db(str(tmp_path / "db2"))
+        col.upsert(
+            ids=["x"], embeddings=[unit([1, 2, 3])], metadatas=[{"k": "v"}]
+        )
+        # fresh client, same path
+        _, col2 = initialize_db(str(tmp_path / "db2"))
+        assert col2.count() == 1
+        assert col2.get(ids=["x"])["metadatas"][0] == {"k": "v"}
+
+
+class TestQuery:
+    def _populate(self, col, n=50, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        embs = rng.normal(size=(n, d)).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        ids = [f"item{i}" for i in range(n)]
+        metas = [
+            {"is_region": i % 2 == 0, "parent_image_name": f"img{i % 5}"}
+            for i in range(n)
+        ]
+        col.upsert(ids=ids, embeddings=embs, metadatas=metas)
+        return ids, embs, metas
+
+    def test_exact_topk_matches_numpy(self, collection):
+        ids, embs, _ = self._populate(collection)
+        q = embs[7]
+        res = collection.query([q], n_results=5)
+        sims = embs @ q
+        want = np.argsort(-sims)[:5]
+        assert res["ids"][0] == [ids[i] for i in want]
+        np.testing.assert_allclose(
+            res["distances"][0], (1 - sims[want]), atol=1e-6
+        )
+
+    def test_where_filter_eq(self, collection):
+        ids, embs, metas = self._populate(collection)
+        q = embs[0]
+        res = collection.query(
+            [q], n_results=10, where={"is_region": {"$eq": True}}
+        )
+        for meta in res["metadatas"][0]:
+            assert meta["is_region"] is True
+
+    def test_where_parent_image(self, collection):
+        ids, embs, metas = self._populate(collection)
+        res = collection.query(
+            [embs[3]],
+            n_results=50,
+            where={"parent_image_name": {"$eq": "img2"}},
+        )
+        got_ids = res["ids"][0]
+        want_ids = [i for i, m in zip(ids, metas) if m["parent_image_name"] == "img2"]
+        assert set(got_ids) == set(want_ids)
+
+    def test_batched_queries(self, collection):
+        ids, embs, _ = self._populate(collection)
+        res = collection.query([embs[0], embs[1], embs[2]], n_results=3)
+        assert len(res["ids"]) == 3
+        for row, qi in zip(res["ids"], range(3)):
+            assert row[0] == ids[qi]  # self is nearest
+            assert res["distances"][qi][0] < 1e-5
+
+    def test_empty_collection_query(self, collection):
+        res = collection.query([[1.0, 0.0]], n_results=5)
+        assert res["ids"] == [[]]
+
+    def test_k_larger_than_matches(self, collection):
+        collection.upsert(ids=["only"], embeddings=[unit([1, 0])])
+        res = collection.query([unit([1, 0])], n_results=10)
+        assert res["ids"][0] == ["only"]
+
+
+class TestClient:
+    def test_collections_listing(self, tmp_path):
+        client = Client(str(tmp_path / "db3"))
+        client.get_or_create_collection("one")
+        col = client.get_or_create_collection("two")
+        col.upsert(ids=["a"], embeddings=[[1.0, 0.0]])
+        assert "two" in client.list_collections()
+        client.delete_collection("two")
+        assert "two" not in client.list_collections()
