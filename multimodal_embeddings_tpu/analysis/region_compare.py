@@ -1,0 +1,165 @@
+"""Region-level cross-comparison reports.
+
+Equivalent of ``region_compare.py`` (D12): for each stored region, find
+the most similar regions from OTHER pages, filter by the similarity
+threshold, apply area weighting, render side-by-side comparison
+composites and HTML pages + index.
+
+Reference quirks preserved behind ``distance_as_similarity`` (default
+True): the reference reads Chroma's *distance* column and treats it as the
+similarity score — both for the threshold test (skips when
+``distance < 0.3``) and in the area-weighted score
+(``region_compare.py:264-283``). Set False for the mathematically intended
+``1 − distance`` behavior.
+
+Retrieval is batched: one store query for every region at once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from multimodal_embeddings_tpu.analysis import html as H
+from multimodal_embeddings_tpu.analysis.visualization import (
+    region_comparison_composite,
+)
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+from multimodal_embeddings_tpu.io.progress import ProgressTracker
+
+logger = get_logger("region_compare")
+
+
+def _box_from_meta(meta: Dict) -> Optional[List[float]]:
+    box = meta.get("box") or meta.get("box_str")
+    if box:
+        try:
+            return [float(x) for x in box.split(",")]
+        except ValueError:
+            return None
+    return None
+
+
+def create_region_cross_comparison(
+    collection,
+    output_folder: str = "region_compare",
+    top_n: int = 10,
+    similarity_threshold: float = 0.3,
+    weight_by_area: bool = True,
+    distance_as_similarity: bool = True,
+    make_composites: bool = True,
+    progress: Optional[ProgressTracker] = None,
+) -> int:
+    os.makedirs(output_folder, exist_ok=True)
+    viz_folder = os.path.join(output_folder, "comparisons")
+    os.makedirs(viz_folder, exist_ok=True)
+
+    regions = collection.get(
+        where={"is_region": {"$eq": True}}, include=("embeddings", "metadatas")
+    )
+    ids = regions["ids"]
+    if not ids:
+        logger.warning("no region embeddings in store")
+        return 0
+    embeddings = regions.get("embeddings", [])
+    metadatas = regions["metadatas"]
+
+    results = collection.query(
+        query_embeddings=embeddings,
+        n_results=min(top_n * 3, len(ids)),
+        where={"is_region": {"$eq": True}},
+        include=("metadatas", "distances"),
+    )
+
+    index_entries = []
+    written = 0
+    for qn, (region_id, meta) in enumerate(zip(ids, metadatas)):
+        if progress is not None and progress.is_completed(region_id):
+            continue
+        parent = meta.get("parent_image", "")
+        source_area = float(meta.get("area_percentage", 0.0))
+        source_box = _box_from_meta(meta)
+
+        matches = []
+        for rid, dist, rmeta in zip(
+            results["ids"][qn], results["distances"][qn], results["metadatas"][qn]
+        ):
+            if rid == region_id:
+                continue
+            if rmeta.get("parent_image", "") == parent:
+                continue  # same-page skip (region_compare.py:257-261)
+            score = dist if distance_as_similarity else 1.0 - dist
+            if score < similarity_threshold:
+                continue
+            if weight_by_area:
+                target_area = float(rmeta.get("area_percentage", 0.0))
+                weighted = score * (source_area / 100.0) * (target_area / 100.0)
+            else:
+                weighted = score
+            matches.append((rid, rmeta, score, weighted))
+            if len(matches) >= top_n:
+                break
+
+        if not matches:
+            if progress is not None:
+                progress.mark_completed(region_id)
+            continue
+
+        cards = []
+        for rank, (rid, rmeta, score, weighted) in enumerate(matches):
+            target_box = _box_from_meta(rmeta)
+            comp_rel = None
+            if (
+                make_composites
+                and source_box is not None
+                and target_box is not None
+                and os.path.exists(parent)
+                and os.path.exists(rmeta.get("parent_image", ""))
+            ):
+                comp_name = f"{region_id}_vs_{rid}.jpg"
+                comp_path = os.path.join(viz_folder, comp_name)
+                if region_comparison_composite(
+                    parent,
+                    rmeta["parent_image"],
+                    source_box,
+                    target_box,
+                    score,
+                    comp_path,
+                    banner=f"score {score:.4f} | weighted {weighted:.6f}",
+                ):
+                    comp_rel = os.path.join("comparisons", comp_name)
+            caption = (
+                f"{rid} [{rmeta.get('region_type', '?')}] "
+                f"score {score:.4f} weighted {weighted:.6f}"
+            )
+            cards.append(H.image_card(comp_rel or "", caption, score=score))
+
+        body = (
+            f"<div class='card'><b>{region_id}</b> "
+            f"[{meta.get('region_type', '?')}] from "
+            f"{meta.get('parent_image_name', '?')} "
+            f"(area {source_area:.2f}%)</div>"
+            "<h2>Similar regions</h2><div class='grid'>"
+            + "".join(cards)
+            + "</div><p><a href='index.html'>← index</a></p>"
+        )
+        page_name = f"{region_id}_comparison.html"
+        H.write_page(
+            os.path.join(output_folder, page_name),
+            f"Similar regions for {region_id}",
+            body,
+        )
+        index_entries.append(
+            (f"{region_id} ({len(matches)} matches)", page_name)
+        )
+        if progress is not None:
+            progress.mark_completed(region_id)
+        written += 1
+
+    H.write_page(
+        os.path.join(output_folder, "index.html"),
+        "Region comparison index",
+        H.link_list(index_entries),
+    )
+    logger.info("region-compare: %d pages written", written)
+    return written
