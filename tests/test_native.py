@@ -1,0 +1,94 @@
+"""Native C++ host kernels: bit-equality against the NumPy host paths."""
+
+import numpy as np
+import pytest
+
+from multimodal_embeddings_tpu.ops.edge_filter import internal_edge_mask_np
+from multimodal_embeddings_tpu.ops.iou import iou_matrix_np
+from multimodal_embeddings_tpu.ops.nms import greedy_nms_np
+from multimodal_embeddings_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native library unavailable (no compiler)")
+    return lib
+
+
+def random_boxes(rng, n, w=1000, h=800):
+    x1 = rng.uniform(0, w * 0.9, n)
+    y1 = rng.uniform(0, h * 0.9, n)
+    bw = rng.uniform(5, w * 0.4, n)
+    bh = rng.uniform(5, h * 0.4, n)
+    return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1)
+
+
+class TestNativeParity:
+    def test_iou_bitwise(self, lib):
+        rng = np.random.default_rng(0)
+        boxes = random_boxes(rng, 60)
+        got = native.iou_matrix_native(boxes)
+        want = iou_matrix_np(boxes)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_nms_class_aware_bitwise(self, lib, seed):
+        rng = np.random.default_rng(seed)
+        n = 150
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0.1, 1.0, n)
+        classes = rng.integers(0, 4, n).astype(np.float64)
+        got = native.greedy_nms_native(boxes, scores, classes, 0.5)
+        want = greedy_nms_np(boxes, scores, classes, 0.5)
+        np.testing.assert_array_equal(got, want)
+
+    def test_nms_class_agnostic(self, lib):
+        rng = np.random.default_rng(3)
+        boxes = random_boxes(rng, 80)
+        scores = rng.uniform(0.1, 1.0, 80)
+        got = native.greedy_nms_native(boxes, scores, None, 0.45)
+        want = greedy_nms_np(boxes, scores, None, 0.45)
+        np.testing.assert_array_equal(got, want)
+
+    def test_nms_on_golden(self, lib, golden_combined_dir):
+        import glob
+        import json
+        import os
+
+        path = sorted(glob.glob(os.path.join(golden_combined_dir, "*_combined.json")))[0]
+        data = json.load(open(path))
+        got = native.greedy_nms_native(
+            np.asarray(data["boxes"]),
+            np.asarray(data["scores"]),
+            np.asarray(data["classes"], np.float64),
+            0.5,
+        )
+        np.testing.assert_array_equal(got, np.arange(len(data["boxes"])))
+
+    def test_edge_mask_bitwise(self, lib):
+        rng = np.random.default_rng(4)
+        boxes = random_boxes(rng, 200, 2000, 1600)
+        cell = (900.0, 700.0, 2000.0, 1600.0)
+        got = native.internal_edge_mask_native(boxes, cell, 2000, 1600, 10)
+        want = internal_edge_mask_np(boxes, cell, 2000, 1600, 10)
+        np.testing.assert_array_equal(got, want)
+
+    def test_cosine_topk_matches_numpy(self, lib):
+        rng = np.random.default_rng(5)
+        corpus = rng.normal(size=(300, 32)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        q = corpus[17]
+        idx, sims = native.cosine_topk_native(corpus, q, 10)
+        want = np.argsort(-(corpus @ q), kind="stable")[:10]
+        np.testing.assert_array_equal(idx, want)
+        assert idx[0] == 17
+
+    def test_cosine_topk_masked(self, lib):
+        rng = np.random.default_rng(6)
+        corpus = rng.normal(size=(100, 16)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        mask = (np.arange(100) % 3 == 0).astype(np.uint8)
+        idx, _ = native.cosine_topk_native(corpus, corpus[0], 50, mask=mask)
+        assert all(i % 3 == 0 for i in idx)
