@@ -1,0 +1,207 @@
+"""Document-to-HTML parsing workflow (Qwen2.5-VL stretch path).
+
+Equivalent of the reference notebook's ``inference`` / ``draw_bbox`` /
+``clean_and_format_html`` cells (``QWEN2_5_document_parsing.ipynb``):
+build a chat prompt asking for "QwenVL HTML", generate, recover the
+effective input resolution from the patch grid, parse ``data-bbox``
+attributes, draw scaled boxes, and strip parser attributes to ordinary
+HTML. HTML handling uses the stdlib ``html.parser`` (no bs4 dependency).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+
+logger = get_logger("doc_parser")
+
+SYSTEM_PROMPT = (
+    "You are an AI specialized in recognizing and extracting text from "
+    "images. Your mission is to analyze the image document and generate the "
+    "result in QwenVL Document Parser HTML format using specified tags "
+    "while maintaining user privacy and data integrity."
+)
+USER_PROMPT = "QwenVL HTML "
+
+
+@dataclasses.dataclass
+class BBoxElement:
+    tag: str
+    bbox: Tuple[int, int, int, int]
+    text: str
+
+
+class _BBoxExtractor(HTMLParser):
+    """Collect elements carrying a data-bbox attribute with their text,
+    reproducing the notebook's filtering (skip <ol> containers, keep <li>
+    children and everything else)."""
+
+    def __init__(self):
+        super().__init__()
+        self._stack: List[Tuple[str, Optional[str]]] = []
+        self._open: List[Tuple[str, Tuple[int, int, int, int], List[str]]] = []
+        self.elements: List[BBoxElement] = []
+
+    def handle_starttag(self, tag, attrs):
+        attrs = dict(attrs)
+        parent = self._stack[-1][0] if self._stack else None
+        self._stack.append((tag, parent))
+        bbox_str = attrs.get("data-bbox")
+        if not bbox_str:
+            return
+        if tag == "ol":
+            return  # containers are skipped
+        try:
+            coords = tuple(int(v) for v in bbox_str.split())
+            if len(coords) != 4:
+                return
+        except ValueError:
+            return
+        self._open.append((tag, coords, []))
+
+    def handle_data(self, data):
+        for entry in self._open:
+            entry[2].append(data)
+
+    def handle_endtag(self, tag):
+        if self._stack and self._stack[-1][0] == tag:
+            self._stack.pop()
+        if self._open and self._open[-1][0] == tag:
+            name, coords, chunks = self._open.pop()
+            self.elements.append(
+                BBoxElement(name, coords, "".join(chunks).strip())
+            )
+
+
+def extract_bbox_elements(html: str) -> List[BBoxElement]:
+    parser = _BBoxExtractor()
+    parser.feed(html)
+    # close any unterminated elements
+    while parser._open:
+        name, coords, chunks = parser._open.pop()
+        parser.elements.append(BBoxElement(name, coords, "".join(chunks).strip()))
+    return parser.elements
+
+
+def draw_bbox(
+    image_path: str,
+    resized_width: int,
+    resized_height: int,
+    html: str,
+    output_path: Optional[str] = None,
+) -> Image.Image:
+    """Draw the parsed boxes back onto the original image, undoing the
+    model-input rescale (notebook ``draw_bbox`` semantics: model bbox
+    coords are in resized space; divide by resized/original scale)."""
+    image = Image.open(image_path).convert("RGB")
+    scale_x = resized_width / image.width
+    scale_y = resized_height / image.height
+    draw = ImageDraw.Draw(image)
+    for el in extract_bbox_elements(html):
+        x1, y1, x2, y2 = el.bbox
+        x1, x2 = sorted((int(x1 / scale_x), int(x2 / scale_x)))
+        y1, y2 = sorted((int(y1 / scale_y), int(y2 / scale_y)))
+        draw.rectangle([x1, y1, x2, y2], outline="red", width=2)
+        if el.text:
+            draw.text((x1, y2), el.text[:80], fill="black")
+    if output_path:
+        image.save(output_path)
+    return image
+
+
+_COLOR_STYLE = re.compile(r"\bcolor:[^;\"']+;?")
+_DATA_ATTR = re.compile(r"\s+data-(?:bbox|polygon)=(\"[^\"]*\"|'[^']*')")
+_STYLE_ATTR = re.compile(r"(\sstyle=)(\"[^\"]*\"|'[^']*')")
+
+
+def clean_and_format_html(html: str) -> str:
+    """Strip data-bbox/data-polygon attributes and color styles, producing
+    ordinary HTML (notebook ``clean_and_format_html`` semantics)."""
+
+    def clean_style(match):
+        quote = match.group(2)[0]
+        inner = match.group(2)[1:-1]
+        cleaned = _COLOR_STYLE.sub("", inner).strip().rstrip(";")
+        if not cleaned:
+            return ""
+        return f"{match.group(1)}{quote}{cleaned}{quote}"
+
+    html = _STYLE_ATTR.sub(clean_style, html)
+    return _DATA_ATTR.sub("", html)
+
+
+def round_to_patch_grid(width: int, height: int, patch: int = 14, merge: int = 2) -> Tuple[int, int]:
+    """Effective model-input resolution: dims rounded to the merged patch
+    grid (the notebook reads ``image_grid_thw * 14``)."""
+    unit = patch * merge
+    return (max(unit, round(width / unit) * unit), max(unit, round(height / unit) * unit))
+
+
+class DocumentParser:
+    """End-to-end page→HTML parser driving a QwenVL-family model."""
+
+    def __init__(self, model, variables, tokenizer, image_size: int = 448):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+
+    def build_prompt_ids(self, n_image_tokens: int, max_len: int) -> np.ndarray:
+        """Chat-template prompt with image-pad placeholders spliced in."""
+        cfg = self.model.config
+        prefix, _ = self.tokenizer.encode(
+            f"system: {SYSTEM_PROMPT}\nuser: {USER_PROMPT}", max_len
+        )
+        prefix = prefix[np.nonzero(prefix)[0]]  # strip padding
+        pads = np.full(n_image_tokens, cfg.image_pad_id, np.int32)
+        suffix, _ = self.tokenizer.encode("\nassistant:", 16)
+        suffix = suffix[np.nonzero(suffix)[0]]
+        ids = np.concatenate([prefix, pads, suffix])[:max_len]
+        return ids[None].astype(np.int32)
+
+    def parse(
+        self, image_path: str, max_new_tokens: int = 256
+    ) -> Tuple[str, int, int]:
+        """Returns (html, input_height, input_width) like the notebook's
+        ``inference``."""
+        from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
+
+        image = Image.open(image_path).convert("RGB")
+        input_w, input_h = round_to_patch_grid(
+            image.width, image.height, self.model.config.vision.patch_size,
+            self.model.config.vision.merge_size,
+        )
+        model_img = image.resize((self.image_size, self.image_size), Image.BILINEAR)
+        arr = np.asarray(model_img, np.float32)[None] / 255.0
+
+        unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
+        n_tokens = (self.image_size // unit) ** 2
+        ids = self.build_prompt_ids(n_tokens, self.model.config.text.max_len)
+        out_tokens = greedy_generate(
+            self.model, self.variables, ids, arr, max_new_tokens=max_new_tokens
+        )
+        text = self.decode_tokens(out_tokens[0])
+        return text, input_h, input_w
+
+    def decode_tokens(self, tokens: np.ndarray) -> str:
+        """Byte-tokenizer decode (HF tokenizers provide their own)."""
+        from multimodal_embeddings_tpu.models.tokenizer import (
+            BYTE_OFFSET,
+            EOS_ID,
+        )
+
+        chars = []
+        for t in tokens:
+            if t == EOS_ID:
+                break
+            byte = int(t) - BYTE_OFFSET
+            if 0 <= byte < 256:  # skip specials and (random-weight) overflow ids
+                chars.append(byte)
+        return bytes(chars).decode("utf-8", errors="replace")

