@@ -32,7 +32,10 @@ from multimodal_embeddings_tpu.models.detector import LayoutDetector
 from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
 from multimodal_embeddings_tpu.models.yolo_decode import decode_predictions
 from multimodal_embeddings_tpu.ops.grid import grid_cells
-from multimodal_embeddings_tpu.ops.image import crop_and_resize
+from multimodal_embeddings_tpu.ops.image import (
+    crop_and_resize_mxu,
+    extract_views_matmul,
+)
 
 
 class PageResult(NamedTuple):
@@ -54,6 +57,18 @@ def view_boxes_for_page(
     return np.asarray(boxes, np.float32)
 
 
+def view_slice_bounds_for_page(
+    width: int, height: int, grids: Sequence[Tuple[int, int]], overlap: float
+) -> list:
+    """Integer pixel slice bounds per view (full page + grid cells), for the
+    static-slice + matmul-resize extraction path."""
+    bounds = [(0, 0, width, height)]
+    for rows, cols in grids:
+        for cell in grid_cells(width, height, rows, cols, overlap):
+            bounds.append(cell.slice_bounds)
+    return bounds
+
+
 def build_fused_page_fn(
     detector: LayoutDetector,
     embedder: MultimodalEmbedder,
@@ -66,7 +81,7 @@ def build_fused_page_fn(
     page of that shape).
     """
     height, width = page_hw
-    views = view_boxes_for_page(
+    view_bounds = view_slice_bounds_for_page(
         width, height, detector.config.grid_configs, detector.config.overlap_percentage
     )
     det_size = detector.config.image_size
@@ -80,14 +95,12 @@ def build_fused_page_fn(
     max_det = detector.config.max_detections
     family = embedder.config.family
 
-    views_j = jnp.asarray(views)
     # per-view scale from detector-input pixels back to page pixels
-    view_w = views[:, 2] - views[:, 0]
-    view_h = views[:, 3] - views[:, 1]
-    sx = jnp.asarray(view_w / det_size)
-    sy = jnp.asarray(view_h / det_size)
-    ox = jnp.asarray(views[:, 0])
-    oy = jnp.asarray(views[:, 1])
+    vb = np.asarray(view_bounds, np.float32)
+    sx = jnp.asarray((vb[:, 2] - vb[:, 0]) / det_size)
+    sy = jnp.asarray((vb[:, 3] - vb[:, 1]) / det_size)
+    ox = jnp.asarray(vb[:, 0])
+    oy = jnp.asarray(vb[:, 1])
 
     if family == "mme5":
         prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
@@ -99,10 +112,11 @@ def build_fused_page_fn(
     @jax.jit
     def fused(page: jnp.ndarray) -> PageResult:
         pagef = page.astype(jnp.float32)
-        # 1. all views, resampled on device (aspect-squeeze resize; the
-        # standalone CLI path letterboxes instead — detection-equivalent
-        # at these aspect ratios and strictly cheaper on HBM)
-        view_imgs = crop_and_resize(pagef, views_j, out_size=det_size) / 255.0
+        # 1. all views via static slices + matmul resize — MXU work instead
+        # of per-pixel gathers (aspect-squeeze resize; the standalone CLI
+        # path letterboxes instead — detection-equivalent at these aspect
+        # ratios and strictly cheaper on HBM)
+        view_imgs = extract_views_matmul(pagef, view_bounds, det_size) / 255.0
         # 2. detect all views as one batch
         outputs = det_model.apply(det_vars, view_imgs, train=False)
         det = decode_predictions(
@@ -127,8 +141,10 @@ def build_fused_page_fn(
         top_classes = flat_classes[top_idx]
         top_valid = top_scores > 0
 
-        # 4-5. crop regions from the full-res page and embed in one batch
-        crops = crop_and_resize(pagef, top_boxes, out_size=emb_size) / 255.0
+        # 4-5. crop regions from the full-res page (row-gather + MXU
+        # interpolation matmul — per-pixel gathers profiled 340ms/page) and
+        # embed in one batch
+        crops = crop_and_resize_mxu(pagef, top_boxes, out_size=emb_size) / 255.0
         if family == "mme5":
             ids = jnp.broadcast_to(prompt_ids, (num_regions, prompt_ids.shape[1]))
             mask = jnp.broadcast_to(prompt_mask, (num_regions, prompt_mask.shape[1]))

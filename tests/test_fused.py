@@ -1,0 +1,66 @@
+"""Fused page-pipeline tests (tiny models, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_embeddings_tpu.config import DetectorConfig, EmbedderConfig
+from multimodal_embeddings_tpu.models.detector import LayoutDetector
+from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+from multimodal_embeddings_tpu.models.vision_encoder import DualEncoderConfig
+from multimodal_embeddings_tpu.pipeline.fused import (
+    build_fused_page_fn,
+    view_boxes_for_page,
+    view_slice_bounds_for_page,
+)
+
+
+@pytest.fixture(scope="module")
+def fused_fn():
+    detector = LayoutDetector(
+        DetectorConfig(image_size=128, variant="n", grid_configs=((2, 2),), max_detections=64),
+        dtype=jnp.float32,
+    )
+    embedder = MultimodalEmbedder(
+        EmbedderConfig(family="siglip", dtype="float32"),
+        model_config=DualEncoderConfig.tiny(),
+    )
+    fn = build_fused_page_fn(detector, embedder, (400, 300), num_regions=8)
+    return fn
+
+
+class TestFused:
+    def test_view_bounds_cover_page(self):
+        bounds = view_slice_bounds_for_page(1700, 2200, ((2, 2), (3, 3)), 20.0)
+        assert len(bounds) == 1 + 4 + 9
+        assert bounds[0] == (0, 0, 1700, 2200)
+        for x0, y0, x1, y1 in bounds:
+            assert 0 <= x0 < x1 <= 1700 and 0 <= y0 < y1 <= 2200
+        boxes = view_boxes_for_page(1700, 2200, ((2, 2),), 20.0)
+        assert boxes.shape == (5, 4)
+
+    def test_end_to_end_shapes(self, fused_fn):
+        rng = np.random.default_rng(0)
+        page = rng.integers(0, 255, (400, 300, 3)).astype(np.uint8)
+        result = fused_fn(jnp.asarray(page))
+        assert result.boxes.shape == (8, 4)
+        assert result.scores.shape == (8,)
+        assert result.embeddings.shape == (8, 64)
+        boxes = np.asarray(result.boxes)
+        valid = np.asarray(result.valid)
+        if valid.any():
+            v = boxes[valid]
+            assert (v[:, 0] <= v[:, 2] + 1e-3).all()
+        # embeddings unit-norm
+        norms = np.linalg.norm(np.asarray(result.embeddings), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+
+    def test_deterministic(self, fused_fn):
+        page = np.full((400, 300, 3), 128, np.uint8)
+        a = fused_fn(jnp.asarray(page))
+        b = fused_fn(jnp.asarray(page))
+        np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+        np.testing.assert_array_equal(
+            np.asarray(a.embeddings), np.asarray(b.embeddings)
+        )
