@@ -1,0 +1,201 @@
+"""HuggingFace checkpoint key mappings for weight porting.
+
+Maps torch state-dict keys of the published checkpoints onto this
+framework's parameter trees, for use with
+``weights.load_torch_state_dict`` (which shape-validates every mapped
+tensor, so an incompatible layout fails loudly).
+
+Covered:
+
+* ``mme5_key_map`` — ``intfloat/mmE5-mllama-11b-instruct``
+  (MllamaForConditionalGeneration). The Llama text stack maps 1:1; the
+  vision stack maps patch/class/pos embeddings, local+global layers, and
+  the multi-modal projector. Tile-specific embeddings
+  (gated_positional_embedding per aspect ratio) have no single-tile
+  counterpart here and are skipped — porting fidelity for multi-tile
+  inputs requires the tiled vision path (future round).
+* ``qwen25_vl_key_map`` — ``Qwen/Qwen2.5-VL-*-Instruct``.
+
+No checkpoint ships in this environment (zero egress), so these maps are
+exercised by structural tests only (key-shape coverage against our own
+random-init trees via an inverse synthetic state dict).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+
+def make_mme5_key_map(config):
+    """Factory: MllamaForConditionalGeneration keys → MmE5Embedder flat
+    keys. Needs the config because cross-attention decoder layers share the
+    HF norm key shape with self-attention layers but live under a
+    different module name here."""
+
+    cross_layers = set(config.text.cross_attn_layers)
+
+    def key_map(torch_key: str) -> Optional[str]:
+        return _mme5_key_map(torch_key, cross_layers)
+
+    return key_map
+
+
+def _mme5_key_map(torch_key: str, cross_layers) -> Optional[str]:
+    k = torch_key
+    # --- text model (language_model.model.*) -------------------------------
+    m = re.match(r"language_model\.model\.embed_tokens\.weight", k)
+    if m:
+        return "params/text_model/tok_embed/embedding"
+    m = re.match(r"language_model\.model\.norm\.weight", k)
+    if m:
+        return "params/text_model/final_norm/scale"
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight",
+        k,
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        name = "attn_norm" if which == "input_layernorm" else "mlp_norm"
+        block = f"cross{layer}" if layer in cross_layers else f"layer{layer}"
+        return f"params/text_model/{block}/{name}/scale"
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.self_attn\.(q|k|v|o)_proj\.weight", k
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        return f"params/text_model/layer{layer}/attn/{which}/kernel"
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight", k
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        block = f"cross{layer}" if layer in cross_layers else f"layer{layer}"
+        return f"params/text_model/{block}/mlp/{which}/kernel"
+    # --- cross-attention layers --------------------------------------------
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.cross_attn\.(q|k|v|o)_proj\.weight", k
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        return f"params/text_model/cross{layer}/cross_attn/{which}/kernel"
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.cross_attn\.(q|k)_norm\.weight", k
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        return f"params/text_model/cross{layer}/cross_attn/{which}_norm/scale"
+    m = re.match(
+        r"language_model\.model\.layers\.(\d+)\.cross_attn_attn_gate", k
+    )
+    if m:
+        return f"params/text_model/cross{int(m.group(1))}/attn_gate"
+    m = re.match(r"language_model\.model\.layers\.(\d+)\.cross_attn_mlp_gate", k)
+    if m:
+        return f"params/text_model/cross{int(m.group(1))}/mlp_gate"
+    # --- multi-modal projector ---------------------------------------------
+    if k == "multi_modal_projector.weight":
+        return "params/vision_model/multi_modal_projector/kernel"
+    if k == "multi_modal_projector.bias":
+        return "params/vision_model/multi_modal_projector/bias"
+    # --- vision model -------------------------------------------------------
+    if k == "vision_model.patch_embedding.weight":
+        return "params/vision_model/patch_embed/kernel"
+    if k == "vision_model.class_embedding":
+        return "params/vision_model/class_embedding"
+    if k == "vision_model.layernorm_pre.weight":
+        return "params/vision_model/pre_ln/scale"
+    if k == "vision_model.layernorm_pre.bias":
+        return "params/vision_model/pre_ln/bias"
+    if k == "vision_model.layernorm_post.weight":
+        return "params/vision_model/post_ln/scale"
+    if k == "vision_model.layernorm_post.bias":
+        return "params/vision_model/post_ln/bias"
+    m = re.match(
+        r"vision_model\.(transformer|global_transformer)\.layers\.(\d+)\.(.+)", k
+    )
+    if m:
+        tower, layer, rest = m.group(1), int(m.group(2)), m.group(3)
+        prefix = (
+            f"params/vision_model/local{layer}"
+            if tower == "transformer"
+            else f"params/vision_model/global{layer}"
+        )
+        sub = {
+            "input_layernorm.weight": "ln1/scale",
+            "input_layernorm.bias": "ln1/bias",
+            "post_attention_layernorm.weight": "ln2/scale",
+            "post_attention_layernorm.bias": "ln2/bias",
+            "self_attn.q_proj.weight": "attn/q/kernel",
+            "self_attn.k_proj.weight": "attn/k/kernel",
+            "self_attn.v_proj.weight": "attn/v/kernel",
+            "self_attn.o_proj.weight": "attn/o/kernel",
+            "mlp.fc1.weight": "mlp/fc1/kernel",
+            "mlp.fc1.bias": "mlp/fc1/bias",
+            "mlp.fc2.weight": "mlp/fc2/kernel",
+            "mlp.fc2.bias": "mlp/fc2/bias",
+        }.get(rest)
+        if sub is not None:
+            return f"{prefix}/{sub}"
+        if rest == "gate_attn" and tower == "global_transformer":
+            return f"params/vision_model/global{layer}_gate"
+        return None
+    return None
+
+
+def qwen25_vl_key_map(torch_key: str) -> Optional[str]:
+    """Map Qwen2_5_VLForConditionalGeneration keys → QwenVLModel flat keys."""
+    k = torch_key
+    if k == "model.embed_tokens.weight":
+        return "params/tok_embed/embedding"
+    if k == "model.norm.weight":
+        return "params/final_norm/scale"
+    if k == "lm_head.weight":
+        return "params/lm_head/kernel"
+    m = re.match(
+        r"model\.layers\.(\d+)\.(input_layernorm|post_attention_layernorm)\.weight", k
+    )
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        name = "attn_norm" if which == "input_layernorm" else "mlp_norm"
+        return f"params/layer{layer}/{name}/scale"
+    m = re.match(r"model\.layers\.(\d+)\.self_attn\.(q|k|v)_proj\.(weight|bias)", k)
+    if m:
+        layer, which, kind = int(m.group(1)), m.group(2), m.group(3)
+        suffix = "kernel" if kind == "weight" else "bias"
+        return f"params/layer{layer}/{which}/{suffix}"
+    m = re.match(r"model\.layers\.(\d+)\.self_attn\.o_proj\.weight", k)
+    if m:
+        return f"params/layer{int(m.group(1))}/o/kernel"
+    m = re.match(r"model\.layers\.(\d+)\.mlp\.(gate|up|down)_proj\.weight", k)
+    if m:
+        layer, which = int(m.group(1)), m.group(2)
+        return f"params/layer{layer}/mlp/{which}/kernel"
+    # vision tower
+    if k == "visual.patch_embed.proj.weight":
+        return "params/vision/patch_embed/kernel"
+    m = re.match(r"visual\.merger\.mlp\.(0|2)\.(weight|bias)", k)
+    if m:
+        which = "merger_fc1" if m.group(1) == "0" else "merger_fc2"
+        suffix = "kernel" if m.group(2) == "weight" else "bias"
+        return f"params/vision/{which}/{suffix}"
+    m = re.match(r"visual\.blocks\.(\d+)\.(.+)", k)
+    if m:
+        layer, rest = int(m.group(1)), m.group(2)
+        sub = {
+            "norm1.weight": f"ln1_{layer}/scale",
+            "norm1.bias": f"ln1_{layer}/bias",
+            "norm2.weight": f"ln2_{layer}/scale",
+            "norm2.bias": f"ln2_{layer}/bias",
+            "attn.qkv.weight": f"qkv_{layer}/kernel",
+            "attn.qkv.bias": f"qkv_{layer}/bias",
+            "attn.proj.weight": f"proj_{layer}/kernel",
+            "attn.proj.bias": f"proj_{layer}/bias",
+            "mlp.fc1.weight": f"mlp_{layer}/fc1/kernel",
+            "mlp.fc1.bias": f"mlp_{layer}/fc1/bias",
+            "mlp.fc2.weight": f"mlp_{layer}/fc2/kernel",
+            "mlp.fc2.bias": f"mlp_{layer}/fc2/bias",
+        }.get(rest)
+        if sub is not None:
+            return f"params/vision/{sub}"
+    return None

@@ -156,3 +156,42 @@ def build_fused_page_fn(
         return PageResult(top_boxes, top_scores, top_classes, top_valid, emb)
 
     return fused
+
+
+def build_fused_batch_fn(
+    detector: LayoutDetector,
+    embedder: MultimodalEmbedder,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+    mesh=None,
+):
+    """Multi-page variant: vmap the fused page function over a page batch,
+    optionally sharding the batch over the mesh's data axis (the multi-chip
+    serving path — each chip processes its shard of pages, XLA handles the
+    layout; replicated weights ride ICI only once).
+
+    Returns ``fn(pages_uint8 (B, H, W, C)) -> PageResult`` with leading
+    batch dims on every field.
+    """
+    import functools as _functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_embeddings_tpu.core.mesh import DATA_AXIS
+
+    page_fn = build_fused_page_fn(detector, embedder, page_hw, num_regions)
+    # unwrap one level of jit so vmap composes cleanly
+    inner = page_fn.__wrapped__ if hasattr(page_fn, "__wrapped__") else page_fn
+
+    batched = jax.jit(jax.vmap(inner))
+
+    if mesh is None:
+        return batched
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+    def sharded(pages):
+        pages = jax.device_put(pages, sharding)
+        return batched(pages)
+
+    return sharded

@@ -64,3 +64,52 @@ class TestFused:
         np.testing.assert_array_equal(
             np.asarray(a.embeddings), np.asarray(b.embeddings)
         )
+
+
+class TestFusedBatch:
+    def test_batched_matches_single(self, fused_fn):
+        import jax.numpy as jnp
+        from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
+
+        detector = LayoutDetector(
+            DetectorConfig(image_size=128, variant="n", grid_configs=((2, 2),), max_detections=64),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        single = build_fused_page_fn(detector, embedder, (400, 300), num_regions=8)
+        batch = build_fused_batch_fn(detector, embedder, (400, 300), num_regions=8)
+        rng = np.random.default_rng(1)
+        pages = rng.integers(0, 255, (3, 400, 300, 3)).astype(np.uint8)
+        got = batch(jnp.asarray(pages))
+        assert got.boxes.shape == (3, 8, 4)
+        for b in range(3):
+            want = single(jnp.asarray(pages[b]))
+            np.testing.assert_allclose(
+                np.asarray(got.embeddings[b]), np.asarray(want.embeddings), atol=1e-4
+            )
+
+    def test_mesh_sharded_batch(self, devices8):
+        import jax.numpy as jnp
+        from multimodal_embeddings_tpu.config import MeshConfig
+        from multimodal_embeddings_tpu.core.mesh import make_mesh
+        from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
+
+        mesh = make_mesh(MeshConfig(shape=(8, 1)))
+        detector = LayoutDetector(
+            DetectorConfig(image_size=128, variant="n", grid_configs=(), max_detections=32),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        fn = build_fused_batch_fn(detector, embedder, (256, 200), num_regions=4, mesh=mesh)
+        rng = np.random.default_rng(2)
+        pages = rng.integers(0, 255, (8, 256, 200, 3)).astype(np.uint8)
+        out = fn(jnp.asarray(pages))
+        assert out.embeddings.shape == (8, 4, 64)
+        norms = np.linalg.norm(np.asarray(out.embeddings), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-3)

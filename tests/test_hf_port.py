@@ -1,0 +1,147 @@
+"""Structural tests for the HF key maps: every mapped target must exist in
+our parameter trees (coverage check without real checkpoints)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_embeddings_tpu.models.hf_port import make_mme5_key_map, qwen25_vl_key_map
+from multimodal_embeddings_tpu.models.mme5 import MllamaConfig, MmE5Embedder
+from multimodal_embeddings_tpu.models.qwen_vl import QwenVLConfig, QwenVLModel
+from multimodal_embeddings_tpu.models.weights import flatten_params
+
+
+def synthetic_mllama_keys(config):
+    keys = [
+        "language_model.model.embed_tokens.weight",
+        "language_model.model.norm.weight",
+        "multi_modal_projector.weight",
+        "multi_modal_projector.bias",
+        "vision_model.patch_embedding.weight",
+        "vision_model.class_embedding",
+        "vision_model.layernorm_pre.weight",
+        "vision_model.layernorm_pre.bias",
+        "vision_model.layernorm_post.weight",
+        "vision_model.layernorm_post.bias",
+    ]
+    for i in range(config.text.layers):
+        if i in config.text.cross_attn_layers:
+            keys += [
+                f"language_model.model.layers.{i}.cross_attn.q_proj.weight",
+                f"language_model.model.layers.{i}.cross_attn.k_proj.weight",
+                f"language_model.model.layers.{i}.cross_attn.v_proj.weight",
+                f"language_model.model.layers.{i}.cross_attn.o_proj.weight",
+                f"language_model.model.layers.{i}.cross_attn.q_norm.weight",
+                f"language_model.model.layers.{i}.cross_attn.k_norm.weight",
+                f"language_model.model.layers.{i}.cross_attn_attn_gate",
+                f"language_model.model.layers.{i}.cross_attn_mlp_gate",
+                f"language_model.model.layers.{i}.input_layernorm.weight",
+                f"language_model.model.layers.{i}.post_attention_layernorm.weight",
+                f"language_model.model.layers.{i}.mlp.gate_proj.weight",
+                f"language_model.model.layers.{i}.mlp.up_proj.weight",
+                f"language_model.model.layers.{i}.mlp.down_proj.weight",
+            ]
+        else:
+            keys += [
+                f"language_model.model.layers.{i}.self_attn.q_proj.weight",
+                f"language_model.model.layers.{i}.self_attn.k_proj.weight",
+                f"language_model.model.layers.{i}.self_attn.v_proj.weight",
+                f"language_model.model.layers.{i}.self_attn.o_proj.weight",
+                f"language_model.model.layers.{i}.input_layernorm.weight",
+                f"language_model.model.layers.{i}.post_attention_layernorm.weight",
+                f"language_model.model.layers.{i}.mlp.gate_proj.weight",
+                f"language_model.model.layers.{i}.mlp.up_proj.weight",
+                f"language_model.model.layers.{i}.mlp.down_proj.weight",
+            ]
+    for i in range(config.vision.layers):
+        for part in (
+            "input_layernorm.weight",
+            "input_layernorm.bias",
+            "post_attention_layernorm.weight",
+            "post_attention_layernorm.bias",
+            "self_attn.q_proj.weight",
+            "self_attn.k_proj.weight",
+            "self_attn.v_proj.weight",
+            "self_attn.o_proj.weight",
+            "mlp.fc1.weight",
+            "mlp.fc1.bias",
+            "mlp.fc2.weight",
+            "mlp.fc2.bias",
+        ):
+            keys.append(f"vision_model.transformer.layers.{i}.{part}")
+    for i in range(config.vision.global_layers):
+        keys.append(f"vision_model.global_transformer.layers.{i}.gate_attn")
+    return keys
+
+
+class TestMmE5Map:
+    def test_all_mapped_targets_exist(self):
+        config = MllamaConfig.tiny()
+        model = MmE5Embedder(config)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.zeros((1, 28, 28, 3)),
+        )
+        import flax.linen as fnn
+
+        flat = set(flatten_params(fnn.unbox(variables)).keys())
+        mme5_key_map = make_mme5_key_map(config)
+        mapped, unmapped = 0, []
+        for key in synthetic_mllama_keys(config):
+            target = mme5_key_map(key)
+            if target is None:
+                unmapped.append(key)
+                continue
+            assert target in flat, f"{key} -> {target} not in model"
+            mapped += 1
+        assert mapped > 40
+        assert not unmapped, unmapped
+
+    def test_unknown_keys_skipped(self):
+        mme5_key_map = make_mme5_key_map(MllamaConfig.tiny())
+        assert mme5_key_map("vision_model.gated_positional_embedding.tile_embedding.weight") is None
+        assert mme5_key_map("something.else") is None
+
+
+class TestQwenMap:
+    def test_all_mapped_targets_exist(self):
+        config = QwenVLConfig.tiny()
+        model = QwenVLModel(config)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.zeros((1, 56, 56, 3)),
+        )
+        import flax.linen as fnn
+
+        flat = set(flatten_params(fnn.unbox(variables)).keys())
+        keys = [
+            "model.embed_tokens.weight",
+            "model.norm.weight",
+            "lm_head.weight",
+            "visual.patch_embed.proj.weight",
+            "visual.merger.mlp.0.weight",
+            "visual.merger.mlp.2.bias",
+        ]
+        for i in range(config.text.layers):
+            keys += [
+                f"model.layers.{i}.self_attn.q_proj.weight",
+                f"model.layers.{i}.self_attn.q_proj.bias",
+                f"model.layers.{i}.self_attn.o_proj.weight",
+                f"model.layers.{i}.mlp.gate_proj.weight",
+                f"model.layers.{i}.input_layernorm.weight",
+            ]
+        for i in range(config.vision.layers):
+            keys += [
+                f"visual.blocks.{i}.attn.qkv.weight",
+                f"visual.blocks.{i}.norm1.weight",
+                f"visual.blocks.{i}.mlp.fc1.weight",
+            ]
+        for key in keys:
+            target = qwen25_vl_key_map(key)
+            assert target is not None, key
+            assert target in flat, f"{key} -> {target} not in model"
