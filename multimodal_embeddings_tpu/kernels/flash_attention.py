@@ -29,11 +29,11 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref,  # (1, BQ, D)
-    k_ref,  # (1, L, D)
-    v_ref,  # (1, L, D)
-    len_ref,  # (1, 1) valid K length in SMEM
-    o_ref,  # (1, BQ, D)
+    q_ref,  # (1, BQ, Dk)
+    k_ref,  # (1, L, Dk)
+    v_ref,  # (1, L, Dv)
+    len_ref,  # (B*H, 1) valid K lengths in SMEM (unblocked)
+    o_ref,  # (1, BQ, Dv)
     *,
     block_k: int,
     causal: bool,
@@ -41,16 +41,16 @@ def _flash_kernel(
 ):
     q_block_idx = pl.program_id(1)
     bq = q_ref.shape[1]
-    d = q_ref.shape[2]
+    dv = v_ref.shape[2]
     l = k_ref.shape[1]
     n_kblocks = l // block_k
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, D)
-    valid_len = len_ref[0, 0]
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, Dk)
+    valid_len = len_ref[pl.program_id(0), 0]
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     s0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    acc0 = jnp.zeros((bq, dv), jnp.float32)
 
     q_positions = q_block_idx * bq + jax.lax.broadcasted_iota(
         jnp.int32, (bq, block_k), 0
@@ -104,21 +104,23 @@ def _pad_to(x, length, axis):
     static_argnames=("causal", "block_q", "block_k", "interpret"),
 )
 def flash_attention(
-    q: jnp.ndarray,  # (B, L, H, D)
-    k: jnp.ndarray,  # (B, L, KVH, D)
-    v: jnp.ndarray,
+    q: jnp.ndarray,  # (B, L, H, Dk)
+    k: jnp.ndarray,  # (B, L, KVH, Dk)
+    v: jnp.ndarray,  # (B, L, KVH, Dv)
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid K lengths
     causal: bool = False,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention with GQA broadcast and padding mask.
+    """Flash attention with GQA broadcast, padding mask, and independent
+    Q/K vs V head dims (PSA-style attention uses Dk != Dv).
 
-    Returns (B, L, H, D) in q's dtype. L is padded internally to the block
+    Returns (B, L, H, Dv) in q's dtype. L is padded internally to the block
     size; ``lengths`` masks padded keys (defaults to full length).
     """
-    b, l, h, d = q.shape
+    b, l, h, dk = q.shape
+    dv = v.shape[3]
     kvh = k.shape[2]
     if kvh != h:
         rep = h // kvh
@@ -130,14 +132,14 @@ def flash_attention(
 
     l_pad = int(math.ceil(l / max(block_q, block_k)) * max(block_q, block_k))
     # (B, L, H, D) → (B*H, L, D)
-    def to_bh(x):
+    def to_bh(x, d):
         x = _pad_to(x, l_pad, axis=1)
         return x.transpose(0, 2, 1, 3).reshape(b * h, l_pad, d)
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    qb, kb, vb = to_bh(q, dk), to_bh(k, dk), to_bh(v, dv)
     len_bh = jnp.repeat(lengths.astype(jnp.int32), h).reshape(b * h, 1)
 
-    sm_scale = 1.0 / math.sqrt(d)
+    sm_scale = 1.0 / math.sqrt(dk)
     n_qblocks = l_pad // block_q
 
     grid = (b * h, n_qblocks)
@@ -148,22 +150,22 @@ def flash_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, d), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
+                (1, block_q, dk), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, l_pad, d), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
+                (1, l_pad, dk), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, l_pad, d), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
+                (1, l_pad, dv), lambda bh, qb_: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 1), lambda bh, qb_: (bh, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths, unblocked
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
+            (1, block_q, dv), lambda bh, qb_: (bh, qb_, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, dv), q.dtype),
         interpret=interpret,
     )(qb, kb, vb, len_bh)
 
-    out = out.reshape(b, h, l_pad, d).transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, l_pad, dv).transpose(0, 2, 1, 3)
     return out[:, :l]

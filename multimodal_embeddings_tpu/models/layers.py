@@ -233,21 +233,21 @@ class PSAAttention(nn.Module):
         v = qkv[..., qk:]
 
         def split_heads(t, dim):
-            return t.reshape(b, h * w, self.num_heads, dim).transpose(0, 2, 1, 3)
+            return t.reshape(b, h * w, self.num_heads, dim)
+
+        from multimodal_embeddings_tpu.models.transformer import sdpa
 
         q = split_heads(q, key_dim)
         k = split_heads(k, key_dim)
         v = split_heads(v, head_dim)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        # sdpa scales by 1/sqrt(key_dim) internally — matches `scale`
+        del scale
+        out = sdpa(q, k, v)  # flash-dispatches on TPU for the 1024-token map
+        out = out.reshape(b, h, w, c)
         # positional branch: 3x3 depthwise over V's spatial layout
         pe = ConvBnAct(
             c, 3, groups=c, act=False, dtype=self.dtype, name="pe"
-        )(v.transpose(0, 2, 1, 3).reshape(b, h, w, c), train)
+        )(v.reshape(b, h, w, c), train)
         return ConvBnAct(c, 1, act=False, dtype=self.dtype, name="proj")(
             out + pe, train
         )
