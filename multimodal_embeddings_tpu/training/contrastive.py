@@ -145,3 +145,50 @@ class ContrastiveTrainer:
 
     def num_params(self) -> int:
         return sum(p.size for p in jax.tree.leaves(self.params))
+
+
+# ---------------------------------------------------------------------------
+# Trainer checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_trainer_checkpoint(trainer: "ContrastiveTrainer", path: str) -> None:
+    """Persist params + optimizer state + step as a flat .npz (leaves keyed
+    by pytree order; restore validates leaf count and shapes)."""
+    import os
+
+    import numpy as np
+
+    flat = {}
+    for prefix, tree in (("p", trainer.params), ("o", trainer.opt_state)):
+        for i, leaf in enumerate(jax.tree.leaves(tree)):
+            flat[f"{prefix}{i}"] = np.asarray(leaf)
+    flat["step"] = np.asarray(trainer.step)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def restore_trainer_checkpoint(trainer: "ContrastiveTrainer", path: str) -> None:
+    """Restore params + optimizer state + step in place (shape-validated
+    against the trainer's existing pytree structure)."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as data:
+        flat = {key: data[key] for key in data.files}
+    trainer.step = int(flat.pop("step"))
+
+    def rebuild(template, prefix):
+        leaves, treedef = jax.tree.flatten(template)
+        restored = []
+        for i, leaf in enumerate(leaves):
+            stored = flat[f"{prefix}{i}"]
+            if tuple(stored.shape) != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"shape mismatch restoring {prefix}{i}: "
+                    f"{stored.shape} vs {np.shape(leaf)}"
+                )
+            restored.append(jnp.asarray(stored, np.asarray(leaf).dtype))
+        return jax.tree.unflatten(treedef, restored)
+
+    trainer.params = rebuild(trainer.params, "p")
+    trainer.opt_state = rebuild(trainer.opt_state, "o")
