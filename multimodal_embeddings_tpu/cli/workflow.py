@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--similarity-threshold", type=float, default=0.3)
     parser.add_argument("--prefix-length", type=int, default=None)
     parser.add_argument("--embedder_family", choices=["siglip", "mme5"], default="siglip")
+    parser.add_argument(
+        "--embedder_size",
+        choices=["tiny", "base"],
+        default="base",
+        help="dual-encoder scale (tiny = test/CI scale)",
+    )
     parser.add_argument("--detector_weights", default=None)
     parser.add_argument("--embedder_weights", default=None)
     parser.add_argument("--variant", default="m", choices=list("nsmblx"))
@@ -59,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--run_cross_compare", action="store_true")
     parser.add_argument("--run_region_compare", action="store_true")
     parser.add_argument("--correct_orientation", action="store_true")
+    parser.add_argument(
+        "--trace_dir",
+        default=None,
+        help="write a jax.profiler trace of the run to this directory",
+    )
     return parser
 
 
@@ -68,7 +79,14 @@ def main(argv=None) -> int:
         log_file="newspaper_process.log",
         level=logging.DEBUG if args.diagnostic else logging.INFO,
     )
+    from multimodal_embeddings_tpu.utils.profiling import StageTimer, trace
 
+    timer = StageTimer()
+    with trace(args.trace_dir):
+        return _run(args, timer)
+
+
+def _run(args, timer) -> int:
     if args.reset:
         reset_workflow(args.db_path, args.output_folder)
 
@@ -90,7 +108,8 @@ def main(argv=None) -> int:
         progress = ProgressTracker(
             os.path.join(args.output_folder, "orientation_progress.json")
         )
-        batch_correct_orientation(image_paths, None, progress=progress)
+        with timer.stage("orient", len(image_paths)):
+            batch_correct_orientation(image_paths, None, progress=progress)
 
     detector = embedder = collection = None
 
@@ -114,10 +133,18 @@ def main(argv=None) -> int:
         if embedder is None:
             from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
 
+            from multimodal_embeddings_tpu.models.vision_encoder import (
+                DualEncoderConfig,
+            )
+
+            model_config = None
+            if args.embedder_family == "siglip" and args.embedder_size == "tiny":
+                model_config = DualEncoderConfig.tiny()
             embedder = MultimodalEmbedder(
                 EmbedderConfig(
                     family=args.embedder_family, weights_path=args.embedder_weights
-                )
+                ),
+                model_config=model_config,
             )
         return embedder
 
@@ -138,16 +165,17 @@ def main(argv=None) -> int:
         progress = ProgressTracker(
             os.path.join(args.output_folder, "region_detection_progress.json")
         )
-        for path in image_paths:
-            if progress.is_completed(path):
-                continue
-            regions = det.detect_regions(path)
-            if regions:
-                base = os.path.splitext(os.path.basename(path))[0]
-                visualize_regions(
-                    path, regions, os.path.join(viz_folder, f"{base}_regions.jpg")
-                )
-            progress.mark_completed(path)
+        with timer.stage("detect", len(image_paths)):
+            for path in image_paths:
+                if progress.is_completed(path):
+                    continue
+                regions = det.detect_regions(path)
+                if regions:
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    visualize_regions(
+                        path, regions, os.path.join(viz_folder, f"{base}_regions.jpg")
+                    )
+                progress.mark_completed(path)
 
     # --- stage: embed ------------------------------------------------------
     if run("embed"):
@@ -161,17 +189,21 @@ def main(argv=None) -> int:
         image_progress = ProgressTracker(
             os.path.join(args.output_folder, "processed_images_progress.json")
         )
-        ImageProcessor(emb, col, progress=image_progress).process_images(image_paths)
+        with timer.stage("embed_pages", len(image_paths)):
+            ImageProcessor(emb, col, progress=image_progress).process_images(
+                image_paths
+            )
         region_progress = ProgressTracker(
             os.path.join(args.output_folder, "region_embedding_progress.json")
         )
-        RegionProcessor(
-            get_detector(),
-            emb,
-            col,
-            output_folder=args.output_folder,
-            progress=region_progress,
-        ).process_regions(image_paths)
+        with timer.stage("embed_regions", len(image_paths)):
+            RegionProcessor(
+                get_detector(),
+                emb,
+                col,
+                output_folder=args.output_folder,
+                progress=region_progress,
+            ).process_regions(image_paths)
 
     # --- stage: cluster ----------------------------------------------------
     if run("cluster"):
@@ -187,18 +219,19 @@ def main(argv=None) -> int:
         if len(pages) < 2:
             logger.warning("need >=2 pages with regions to cluster (have %d)", len(pages))
         else:
-            similarity = compute_similarity_matrix(
-                pages,
-                prefix_skip=args.prefix_length,
-            )
-            result = cluster_pages(
-                similarity, [p.name for p in pages], n_clusters=args.n_clusters
-            )
-            create_cluster_report(
-                similarity,
-                result,
-                os.path.join(args.output_folder, "weighted_clustering"),
-            )
+            with timer.stage("cluster", len(pages)):
+                similarity = compute_similarity_matrix(
+                    pages,
+                    prefix_skip=args.prefix_length,
+                )
+                result = cluster_pages(
+                    similarity, [p.name for p in pages], n_clusters=args.n_clusters
+                )
+                create_cluster_report(
+                    similarity,
+                    result,
+                    os.path.join(args.output_folder, "weighted_clustering"),
+                )
             logger.info(
                 "clustering: %d clusters, silhouette %.4f",
                 result.n_clusters,
@@ -243,6 +276,7 @@ def main(argv=None) -> int:
             test_text=args.demo_text,
         )
 
+    timer.log_summary()
     logger.info("workflow complete")
     return 0
 
