@@ -156,3 +156,37 @@ def load_torch_state_dict(
         mapped += 1
     logger.info("ported %d/%d tensors from torch checkpoint", mapped, len(flat_target))
     return freeze(unflatten_params(out))
+
+
+def save_checkpoint_orbax(variables: Dict, path: str) -> None:
+    """Orbax checkpoint (for mesh-sharded trees the flat-npz path can't
+    hold — e.g. the TP-sharded 11B embedder: arrays are saved per-shard
+    without host gathering)."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(os.path.abspath(path), unfreeze_tree(variables), force=True)
+    checkpointer.wait_until_finished()
+    logger.info("saved orbax checkpoint to %s", path)
+
+
+def load_checkpoint_orbax(path: str, target_variables: Dict) -> Dict:
+    """Restore an orbax checkpoint into the target structure (sharding of
+    the target's arrays is reproduced on load)."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    restored = checkpointer.restore(
+        os.path.abspath(path),
+        target=unfreeze_tree(target_variables),
+    )
+    return restored
+
+
+def unfreeze_tree(tree):
+    from flax.core import unfreeze as _unfreeze
+
+    try:
+        return _unfreeze(tree)
+    except Exception:
+        return tree

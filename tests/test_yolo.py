@@ -170,3 +170,22 @@ class TestDecode:
             np.array([[-30.0, -30.0, 1e5, 1e5]]), 1.0, (0, 0), (400, 500)
         )
         np.testing.assert_allclose(clipped, [[0.0, 0.0, 500.0, 400.0]])
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tiny_model, tmp_path):
+        from multimodal_embeddings_tpu.models.weights import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        model, variables = tiny_model
+        path = str(tmp_path / "orbax_ckpt")
+        save_checkpoint_orbax(variables, path)
+        restored = load_checkpoint_orbax(path, variables)
+        x = jnp.ones((1, SIZE, SIZE, 3)) * 0.25
+        out_a = model.apply(variables, x, train=False)
+        out_b = model.apply(restored, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_a[0][0]), np.asarray(out_b[0][0])
+        )
