@@ -1,0 +1,188 @@
+"""Serving CLI: continuous page ingestion through the fused TPU pipeline.
+
+Watches an input folder; every new page runs through the fused
+detect→embed program (one XLA execution per page-shape bucket) and its
+region embeddings + whole-page embedding are upserted into the store.
+This is the deployment-shaped entry the reference lacks (its closest
+analogue is re-running ``complete_workflow.py``).
+
+Pages are bucketed by shape: the fused program is compiled once per
+bucket (pages are padded up to the bucket resolution), so steady-state
+ingestion is compile-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Tuple
+
+import numpy as np
+
+from multimodal_embeddings_tpu.config import (
+    DetectorConfig,
+    EmbedderConfig,
+    ID_TO_NAMES,
+)
+from multimodal_embeddings_tpu.io.images import get_image_paths, load_image_rgb
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+from multimodal_embeddings_tpu.io.progress import ProgressTracker
+from multimodal_embeddings_tpu.pipeline.regions import region_metadata
+
+logger = get_logger("cli.serve")
+
+# shape buckets: pages are padded (bottom/right) up to the enclosing bucket
+DEFAULT_BUCKETS = ((1600, 1200), (2400, 1800), (3600, 2800), (8000, 8000))
+
+
+def bucket_for(h: int, w: int, buckets) -> Tuple[int, int]:
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            return bh, bw
+    return buckets[-1]
+
+
+class FusedServer:
+    def __init__(self, args):
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.vision_encoder import DualEncoderConfig
+        from multimodal_embeddings_tpu.store.embedding_store import initialize_db
+
+        self.args = args
+        det_cfg = DetectorConfig(
+            image_size=args.imgsz,
+            variant=args.variant,
+            weights_path=args.detector_weights,
+            grid_configs=tuple(
+                tuple(int(v) for v in g.split("x"))
+                for g in args.grid_configs.split(",")
+                if g
+            ),
+        )
+        self.detector = LayoutDetector(det_cfg, dtype=jnp.bfloat16)
+        model_config = (
+            DualEncoderConfig.tiny() if args.embedder_size == "tiny" else None
+        )
+        self.embedder = MultimodalEmbedder(
+            EmbedderConfig(
+                family=args.embedder_family, weights_path=args.embedder_weights
+            ),
+            model_config=model_config,
+        )
+        _, self.collection = initialize_db(args.db_path)
+        self.progress = ProgressTracker(
+            os.path.join(args.db_path, "serve_progress.json")
+        )
+        self._page_fns: Dict[Tuple[int, int], object] = {}
+
+    def _fn_for_bucket(self, bucket: Tuple[int, int]):
+        if bucket not in self._page_fns:
+            from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
+
+            logger.info("compiling fused program for bucket %s", bucket)
+            self._page_fns[bucket] = build_fused_page_fn(
+                self.detector,
+                self.embedder,
+                bucket,
+                num_regions=self.args.num_regions,
+            )
+        return self._page_fns[bucket]
+
+    def process_page(self, path: str) -> int:
+        import jax.numpy as jnp
+
+        image = load_image_rgb(path)
+        h, w = image.shape[:2]
+        bucket = bucket_for(h, w, DEFAULT_BUCKETS)
+        padded = np.zeros((*bucket, 3), np.uint8)
+        padded[:h, :w] = image
+        result = self._fn_for_bucket(bucket)(jnp.asarray(padded))
+
+        boxes = np.asarray(result.boxes, np.float64)
+        scores = np.asarray(result.scores, np.float64)
+        classes = np.asarray(result.classes)
+        valid = np.asarray(result.valid)
+        embeddings = np.asarray(result.embeddings, np.float64)
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        ids, embs, metas = [], [], []
+        for i in range(len(boxes)):
+            if not valid[i]:
+                continue
+            # clip padded-region artifacts
+            box = np.clip(boxes[i], [0, 0, 0, 0], [w, h, w, h])
+            if box[2] - box[0] < 2 or box[3] - box[1] < 2:
+                continue
+            class_name = ID_TO_NAMES[int(classes[i]) % len(ID_TO_NAMES)]
+            ids.append(f"region_{stem}_{i}")
+            embs.append(embeddings[i].tolist())
+            metas.append(
+                region_metadata(
+                    path, i, box.tolist(), float(classes[i]), class_name,
+                    float(scores[i]), w, h,
+                )
+            )
+        if ids:
+            self.collection.upsert(ids=ids, embeddings=embs, metadatas=metas)
+        self.progress.mark_completed(path)
+        return len(ids)
+
+    def run_once(self) -> int:
+        paths = [
+            p
+            for p in get_image_paths(self.args.input_folder)
+            if not self.progress.is_completed(p)
+        ]
+        total = 0
+        start = time.perf_counter()
+        for path in paths:
+            try:
+                n = self.process_page(path)
+                total += n
+                logger.info("served %s: %d regions", os.path.basename(path), n)
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                logger.error("failed on %s: %s", path, exc)
+        if paths:
+            elapsed = time.perf_counter() - start
+            logger.info(
+                "ingested %d pages in %.2fs (%.2f pages/s)",
+                len(paths),
+                elapsed,
+                len(paths) / elapsed,
+            )
+        return len(paths)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Serve pages through the fused pipeline")
+    parser.add_argument("--input_folder", default="newspaper_images")
+    parser.add_argument("--db_path", default="db")
+    parser.add_argument("--imgsz", type=int, default=1024)
+    parser.add_argument("--variant", default="m", choices=list("nsmblx"))
+    parser.add_argument("--grid_configs", default="2x2,3x3,4x4")
+    parser.add_argument("--num_regions", type=int, default=48)
+    parser.add_argument("--embedder_family", choices=["siglip", "mme5"], default="siglip")
+    parser.add_argument("--embedder_size", choices=["tiny", "base"], default="base")
+    parser.add_argument("--detector_weights", default=None)
+    parser.add_argument("--embedder_weights", default=None)
+    parser.add_argument("--watch", action="store_true", help="poll for new pages")
+    parser.add_argument("--poll_interval", type=float, default=5.0)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    server = FusedServer(args)
+    server.run_once()
+    while args.watch:
+        time.sleep(args.poll_interval)
+        server.run_once()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

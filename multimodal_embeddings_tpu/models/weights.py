@@ -190,3 +190,13 @@ def unfreeze_tree(tree):
         return _unfreeze(tree)
     except Exception:
         return tree
+
+
+def save_checkpoint_safetensors(variables: Dict, path: str) -> None:
+    """Save a flat safetensors checkpoint (keys = '/'-joined flax paths)."""
+    from safetensors.numpy import save_file
+
+    flat = flatten_params(variables)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(flat, path)
+    logger.info("saved %d tensors to %s", len(flat), path)

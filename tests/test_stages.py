@@ -267,3 +267,30 @@ class TestStage45:
             _, median, page_w, _ = median_width_for_json(path)
             assert median > 0
             assert 0.01 < median / page_w < 0.5, os.path.basename(path)
+
+
+class TestAllGoldensPipeline:
+    def test_stage23_roundtrip_all_goldens(self, golden_combined_dir, tmp_path):
+        """Synthesize grid views from every checked-in golden, run stages
+        2→3, and verify the combined output against the brute-force oracle
+        and high recall of the original golden boxes."""
+        for gi, path in enumerate(golden_paths(golden_combined_dir)):
+            golden = load_json(path)
+            if len(golden["boxes"]) < 10:
+                continue
+            base = f"g{gi}"
+            stage1 = str(tmp_path / base / "s1")
+            synthesize_stage1_outputs(golden, base, stage1)
+            out2 = str(tmp_path / base / "s2")
+            out3 = str(tmp_path / base / "s3")
+            run_edge_filter_stage(stage1, out2)
+            stats = run_combine_stage(out2, out3)
+            assert stats.processed == 1, path
+            combined = load_json(os.path.join(out3, "json", f"{base}_combined.json"))
+            golden_set = {tuple(b) for b in golden["boxes"]}
+            got_set = {tuple(b) for b in combined["boxes"]}
+            recall = len(golden_set & got_set) / len(golden_set)
+            # < 1.0 is expected: boxes near internal grid edges are
+            # (correctly) edge-filtered out of the synthetic cell views and
+            # only half of them reappear via the every-other-box base JSON
+            assert recall > 0.8, (os.path.basename(path), recall)

@@ -189,3 +189,21 @@ class TestOrbaxCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(out_a[0][0]), np.asarray(out_b[0][0])
         )
+
+
+class TestSafetensors:
+    def test_roundtrip(self, tiny_model, tmp_path):
+        from multimodal_embeddings_tpu.models.weights import (
+            load_checkpoint,
+            save_checkpoint_safetensors,
+        )
+
+        model, variables = tiny_model
+        path = str(tmp_path / "det.safetensors")
+        save_checkpoint_safetensors(variables, path)
+        loaded = load_checkpoint(path, variables)
+        x = jnp.ones((1, SIZE, SIZE, 3)) * 0.75
+        np.testing.assert_array_equal(
+            np.asarray(model.apply(variables, x, train=False)[0][0]),
+            np.asarray(model.apply(loaded, x, train=False)[0][0]),
+        )
