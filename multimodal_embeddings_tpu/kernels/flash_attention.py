@@ -169,3 +169,128 @@ def flash_attention(
 
     out = out.reshape(b, h, l_pad, dv).transpose(0, 2, 1, 3)
     return out[:, :l]
+
+
+def _flash_kernel_v2(
+    q_ref,  # (1, L, Dk)
+    k_ref,  # (1, L, Dk)
+    v_ref,  # (1, L, Dv)
+    len_ref,  # (B*H, 1) SMEM
+    o_ref,  # (1, L, Dv)
+    *,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """One program per batch-head: K/V are resident for ALL q-blocks, so
+    HBM traffic per (batch, head) is one K/V read instead of one per
+    q-block — the variant that beats the XLA path at encoder scale."""
+    l = k_ref.shape[1]
+    dv = v_ref.shape[2]
+    n_qblocks = l // block_q
+    n_kblocks = l // block_k
+    valid_len = len_ref[pl.program_id(0), 0]
+
+    def q_body(qb, _):
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale
+        q_positions = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+
+        def k_body(kb, carry):
+            m_prev, s_prev, acc = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            k_positions = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_positions < valid_len
+            if causal:
+                mask &= k_positions <= q_positions
+            scores = jnp.where(mask, scores, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            correction = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            s_new = s_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * correction + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return m_new, s_new, acc
+
+        if causal:
+            upper = jnp.minimum((qb * block_q + block_q + block_k - 1) // block_k, n_kblocks)
+        else:
+            upper = n_kblocks
+        m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+        s0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, dv), jnp.float32)
+        m, s, acc = jax.lax.fori_loop(0, upper, k_body, (m0, s0, acc0))
+        o_ref[0, pl.ds(qb * block_q, block_q), :] = (
+            acc / jnp.maximum(s, 1e-30)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_qblocks, q_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention_v2(
+    q: jnp.ndarray,  # (B, L, H, Dk)
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # (B, L, KVH, Dv)
+    lengths: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """K/V-resident flash attention (see ``_flash_kernel_v2``). Same
+    numerics/contract as ``flash_attention``; preferable whenever one
+    (L, Dk+2·Dv) working set fits VMEM (true through multi-thousand-token
+    encoders)."""
+    b, l, h, dk = q.shape
+    dv = v.shape[3]
+    kvh = k.shape[2]
+    if kvh != h:
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if lengths is None:
+        lengths = jnp.full((b,), l, jnp.int32)
+
+    l_pad = int(math.ceil(l / max(block_q, block_k)) * max(block_q, block_k))
+
+    def to_bh(x, d):
+        x = _pad_to(x, l_pad, axis=1)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, l_pad, d)
+
+    qb, kb, vb = to_bh(q, dk), to_bh(k, dk), to_bh(v, dv)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), h).reshape(b * h, 1)
+    sm_scale = 1.0 / math.sqrt(dk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_v2,
+            block_q=block_q,
+            block_k=block_k,
+            causal=causal,
+            sm_scale=sm_scale,
+        ),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, l_pad, dk), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, dk), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, dv), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, l_pad, dv), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, dv), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, len_bh)
+    out = out.reshape(b, h, l_pad, dv).transpose(0, 2, 1, 3)
+    return out[:, :l]

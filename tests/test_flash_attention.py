@@ -73,3 +73,34 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want), atol=3e-2
         )
+
+
+class TestFlashV2:
+    @pytest.mark.parametrize("l,causal", [(256, False), (384, True), (200, False)])
+    def test_matches_sdpa(self, l, causal):
+        from multimodal_embeddings_tpu.kernels.flash_attention import (
+            flash_attention_v2,
+        )
+
+        rng = np.random.default_rng(10)
+        q, k, v = rand_qkv(rng, 2, l, 4, 64)
+        got = flash_attention_v2(q, k, v, causal=causal, interpret=True)
+        want = sdpa(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_lengths_and_dkdv(self):
+        from multimodal_embeddings_tpu.kernels.flash_attention import (
+            flash_attention_v2,
+        )
+
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(2, 256, 3, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 256, 3, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 256, 3, 64)).astype(np.float32))
+        lengths = jnp.asarray([256, 130], jnp.int32)
+        got = flash_attention_v2(q, k, v, lengths=lengths, interpret=True)
+        mask = (jnp.arange(256) < 130)[None, None, None, :]
+        want0 = sdpa(q[:1], k[:1], v[:1])
+        want1 = sdpa(q[1:], k[1:], v[1:], mask=mask.astype(bool))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want0[0]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want1[0]), atol=2e-5)
