@@ -169,3 +169,46 @@ class TestMeshSharding:
         a = sharded.get_image_embeddings([img] * 4, batch_size=4)
         b = plain.get_image_embeddings([img] * 4, batch_size=4)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class TestFullSizeConfigs:
+    def test_mme5_11b_parameter_count(self):
+        """The full-size config must actually be an ~11B-parameter model
+        (abstract eval, no allocation)."""
+        import jax
+
+        config = MllamaConfig.mme5_11b()
+        model = MmE5Embedder(config)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.ones((1, 16), jnp.int32),
+                jnp.ones((1, 16), jnp.int32),
+                jnp.zeros((1, config.vision.image_size, config.vision.image_size, 3)),
+            )
+        )
+        total = sum(
+            int(np.prod(leaf.shape)) for leaf in jax.tree.leaves(shapes)
+        )
+        assert 9e9 < total < 13e9, f"{total:,}"
+
+    def test_qwen7b_parameter_count(self):
+        import jax
+
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            QwenVLConfig,
+            QwenVLModel,
+        )
+
+        config = QwenVLConfig.qwen25_vl_7b()
+        model = QwenVLModel(config)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.ones((1, 8), jnp.int32),
+                jnp.zeros((1, 56, 56, 3)),
+            )
+        )
+        total = sum(int(np.prod(leaf.shape)) for leaf in jax.tree.leaves(shapes))
+        # 7B text + ~0.7B vision (+ lm_head; cache-free)
+        assert 6e9 < total < 11e9, f"{total:,}"
