@@ -174,8 +174,12 @@ class DocumentParser:
         from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
 
         image = Image.open(image_path).convert("RGB")
+        # the model sees a fixed image_size x image_size input, so THAT is
+        # the resolution data-bbox coordinates live in (the notebook's
+        # image_grid_thw*14 equals the actual processed input dims)
         input_w, input_h = round_to_patch_grid(
-            image.width, image.height, self.model.config.vision.patch_size,
+            self.image_size, self.image_size,
+            self.model.config.vision.patch_size,
             self.model.config.vision.merge_size,
         )
         model_img = image.resize((self.image_size, self.image_size), Image.BILINEAR)

@@ -204,12 +204,6 @@ def create_cluster_report(
         + "</div>"
     )
 
-    matrix_rows = []
-    for i in range(n):
-        matrix_rows.append(
-            [_short(result.names[i], 20)]
-            + [H.colored_cell(similarity[i, j])[4:-5] for j in range(n)]
-        )
     header = [""] + [str(i) for i in range(n)]
     matrix_html = "<table class='matrix'><tr>" + "".join(
         f"<th>{h}</th>" for h in header

@@ -66,7 +66,7 @@ def main(argv=None) -> int:
         config=config,
         save_cell_images=not args.no_cell_images,
         save_visualizations=not args.no_viz,
-        skip_errors=args.skip_errors or True,
+        skip_errors=args.skip_errors,
     )
     logger.info(
         "stage 1 complete: %d pages, %d errors", stats.processed, stats.errors

@@ -39,7 +39,7 @@ def main(argv=None) -> int:
         args.output_folder,
         threshold=args.edge_threshold,
         viz_alpha=args.viz_alpha,
-        skip_errors=args.skip_errors or True,
+        skip_errors=args.skip_errors,
     )
     logger.info(
         "stage 2 complete: %d processed, %d errors", stats.processed, stats.errors

@@ -97,6 +97,20 @@ class FusedServer:
 
         image = load_image_rgb(path)
         h, w = image.shape[:2]
+        # pages larger than the biggest bucket are downscaled to fit (the
+        # embedder path's 8000px LANCZOS cap analogue); detections are
+        # scaled back to original page coordinates below
+        max_h, max_w = DEFAULT_BUCKETS[-1]
+        scale = 1.0
+        if h > max_h or w > max_w:
+            scale = min(max_h / h, max_w / w)
+            from PIL import Image
+
+            resized = Image.fromarray(image).resize(
+                (max(1, int(w * scale)), max(1, int(h * scale))), Image.LANCZOS
+            )
+            image = np.asarray(resized)
+            h, w = image.shape[:2]
         bucket = bucket_for(h, w, DEFAULT_BUCKETS)
         padded = np.zeros((*bucket, 3), np.uint8)
         padded[:h, :w] = image
@@ -109,12 +123,14 @@ class FusedServer:
         embeddings = np.asarray(result.embeddings, np.float64)
 
         stem = os.path.splitext(os.path.basename(path))[0]
+        orig_w = int(round(w / scale))
+        orig_h = int(round(h / scale))
         ids, embs, metas = [], [], []
         for i in range(len(boxes)):
             if not valid[i]:
                 continue
-            # clip padded-region artifacts
-            box = np.clip(boxes[i], [0, 0, 0, 0], [w, h, w, h])
+            # clip padded-region artifacts, then map back to original coords
+            box = np.clip(boxes[i], [0, 0, 0, 0], [w, h, w, h]) / scale
             if box[2] - box[0] < 2 or box[3] - box[1] < 2:
                 continue
             class_name = ID_TO_NAMES[int(classes[i]) % len(ID_TO_NAMES)]
@@ -123,7 +139,7 @@ class FusedServer:
             metas.append(
                 region_metadata(
                     path, i, box.tolist(), float(classes[i]), class_name,
-                    float(scores[i]), w, h,
+                    float(scores[i]), orig_w, orig_h,
                 )
             )
         if ids:

@@ -208,14 +208,18 @@ class PipelineConfig:
 def _dataclass_from_dict(cls, raw):
     if not dataclasses.is_dataclass(cls):
         return raw
+    # `from __future__ import annotations` stringifies field.type — resolve
+    # real types via get_type_hints so nested dataclasses rehydrate.
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for field in dataclasses.fields(cls):
         if field.name in raw:
             value = raw[field.name]
-            if dataclasses.is_dataclass(field.type) or (
-                isinstance(field.type, type) and dataclasses.is_dataclass(field.type)
-            ):
-                value = _dataclass_from_dict(field.type, value)
+            ftype = hints.get(field.name, field.type)
+            if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+                value = _dataclass_from_dict(ftype, value)
             kwargs[field.name] = value
     return cls(**kwargs)
 

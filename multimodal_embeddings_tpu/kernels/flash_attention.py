@@ -130,7 +130,8 @@ def flash_attention(
     if lengths is None:
         lengths = jnp.full((b,), l, jnp.int32)
 
-    l_pad = int(math.ceil(l / max(block_q, block_k)) * max(block_q, block_k))
+    unit = math.lcm(block_q, block_k)
+    l_pad = int(math.ceil(l / unit) * unit)
     # (B, L, H, D) → (B*H, L, D)
     def to_bh(x, d):
         x = _pad_to(x, l_pad, axis=1)
@@ -261,7 +262,8 @@ def flash_attention_v2(
     if lengths is None:
         lengths = jnp.full((b,), l, jnp.int32)
 
-    l_pad = int(math.ceil(l / max(block_q, block_k)) * max(block_q, block_k))
+    unit = math.lcm(block_q, block_k)
+    l_pad = int(math.ceil(l / unit) * unit)
 
     def to_bh(x, d):
         x = _pad_to(x, l_pad, axis=1)

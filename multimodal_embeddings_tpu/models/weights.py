@@ -115,6 +115,55 @@ def torch_conv_to_flax(weight: np.ndarray) -> np.ndarray:
     return np.transpose(weight, (2, 3, 1, 0))
 
 
+def adapt_torch_tensor(arr: np.ndarray, target_shape, tkey: str = "?"):
+    """Convert a torch tensor layout to the flax target layout.
+
+    * 4-D → conv OIHW → HWIO;
+    * 2-D whose shape equals the target → direct (embeddings, already-
+      (in,out) matrices are never produced by torch Linear, so a square
+      direct match is only taken for non-'.weight'-of-Linear tensors —
+      callers route Linears here with ``force_linear=True`` via key
+      naming);
+    * 2-D torch Linear ``(out, in)`` → transpose then reshape to the
+      target (covers Dense ``(in, out)``, DenseGeneral ``(in, H, D)`` and
+      output projections ``(H, D, out)``);
+    * 1-D bias → reshape to the target.
+    """
+    target_shape = tuple(target_shape)
+    if arr.ndim == 4:
+        arr = torch_conv_to_flax(arr)
+        if arr.shape != target_shape:
+            raise ValueError(f"conv shape mismatch {tkey}: {arr.shape} vs {target_shape}")
+        return arr
+    if arr.ndim == 2:
+        if int(np.prod(arr.shape)) != int(np.prod(target_shape)):
+            raise ValueError(f"size mismatch {tkey}: {arr.shape} vs {target_shape}")
+        transposed = arr.T
+        # torch Linear stores (out, in); flax Dense-style kernels start
+        # with the input dim, so the transpose-reshape is correct whenever
+        # the target's leading dims consume the torch 'in' axis. Embedding
+        # tables are (vocab, dim) on both sides → direct when equal AND the
+        # reshape path would scramble rows; disambiguate by exact match
+        # first except for square matrices, where Linear semantics win
+        # only if the key says 'proj'/'lm_head'/explicit linear.
+        if arr.shape == target_shape and not _looks_like_linear(tkey):
+            return arr
+        return np.ascontiguousarray(transposed).reshape(target_shape)
+    if arr.ndim <= 1:
+        return arr.reshape(target_shape)
+    if arr.shape == target_shape:
+        return arr
+    raise ValueError(f"unsupported layout {tkey}: {arr.shape} vs {target_shape}")
+
+
+_LINEAR_HINTS = ("proj", "lm_head", "fc1", "fc2", "merger", "qkv", "gate_proj",
+                 "up_proj", "down_proj", ".q.", ".k.", ".v.", ".o.")
+
+
+def _looks_like_linear(tkey: str) -> bool:
+    return any(h in tkey for h in _LINEAR_HINTS)
+
+
 def load_torch_state_dict(
     path: str,
     target_variables: Dict,
@@ -124,8 +173,9 @@ def load_torch_state_dict(
     parameter tree.
 
     ``key_map`` maps each torch key to a flat flax key (or None to skip).
-    Conv kernels are transposed OIHW→HWIO; BatchNorm running stats land in
-    ``batch_stats``. Every mapped tensor is shape-checked.
+    Layout adaptation (conv OIHW→HWIO, Linear (out,in)→(in,...)-reshape,
+    bias reshape) happens in ``adapt_torch_tensor``; every mapped tensor is
+    shape-checked against the model.
     """
     import torch
 
@@ -145,13 +195,7 @@ def load_torch_state_dict(
         if fkey not in flat_target:
             raise KeyError(f"mapped key {fkey} (from {tkey}) not in model")
         arr = tval.detach().to(torch.float32).numpy()
-        if arr.ndim == 4:
-            arr = torch_conv_to_flax(arr)
-        if tuple(arr.shape) != tuple(flat_target[fkey].shape):
-            raise ValueError(
-                f"shape mismatch {tkey}->{fkey}: {arr.shape} vs "
-                f"{flat_target[fkey].shape}"
-            )
+        arr = adapt_torch_tensor(arr, flat_target[fkey].shape, tkey)
         out[fkey] = jnp.asarray(arr)
         mapped += 1
     logger.info("ported %d/%d tensors from torch checkpoint", mapped, len(flat_target))

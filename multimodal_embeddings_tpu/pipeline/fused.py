@@ -32,6 +32,7 @@ from multimodal_embeddings_tpu.models.detector import LayoutDetector
 from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
 from multimodal_embeddings_tpu.models.yolo_decode import decode_predictions
 from multimodal_embeddings_tpu.ops.grid import grid_cells
+from multimodal_embeddings_tpu.ops.nms import nms_padded
 from multimodal_embeddings_tpu.ops.image import (
     crop_and_resize_mxu,
     extract_views_matmul,
@@ -136,9 +137,27 @@ def build_fused_page_fn(
         flat_scores = jnp.where(det.valid, det.scores, -1.0).reshape(-1)
         flat_classes = det.classes.reshape(-1)
 
-        top_scores, top_idx = jax.lax.top_k(flat_scores, num_regions)
-        top_boxes = page_boxes[top_idx]
-        top_classes = flat_classes[top_idx]
+        # cross-view dedup: the same physical region is detected in several
+        # overlapping views — apply the stage-3 class-aware greedy NMS
+        # (IoU 0.5, 3_combine_grids.py:80-138 semantics) over the strongest
+        # candidates before selecting the final top-K
+        n_cand = min(4 * num_regions, flat_scores.shape[0])
+        cand_scores, cand_idx = jax.lax.top_k(flat_scores, n_cand)
+        cand_boxes = page_boxes[cand_idx]
+        cand_classes = flat_classes[cand_idx]
+        keep, order = nms_padded(
+            cand_boxes,
+            cand_scores,
+            cand_classes,
+            cand_scores > 0,
+            iou_threshold=0.5,
+            class_aware=True,
+        )
+        kept_scores = jnp.where(keep, cand_scores[order], -1.0)
+        top_scores, sel = jax.lax.top_k(kept_scores, num_regions)
+        sel_orig = order[sel]
+        top_boxes = cand_boxes[sel_orig]
+        top_classes = cand_classes[sel_orig]
         top_valid = top_scores > 0
 
         # 4-5. crop regions from the full-res page (row-gather + MXU

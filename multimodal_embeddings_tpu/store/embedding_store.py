@@ -265,9 +265,13 @@ class Collection:
         return out
 
 
-def _masked_topk(corpus, queries, mask, k: int):
-    """(N,D) corpus × (Q,D) queries → top-k similarities/indices among
-    mask-true rows. Jitted per (N, Q, k) shape."""
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _masked_topk_fn(k: int):
+    """Jitted masked-top-k factory, cached per k so repeated queries hit the
+    jit cache instead of retracing (tunnel compiles cost minutes)."""
     import jax
     import jax.numpy as jnp
 
@@ -277,7 +281,13 @@ def _masked_topk(corpus, queries, mask, k: int):
         sims = jnp.where(mask[None, :], sims, -2.0)  # cosine floor is -1
         return jax.lax.top_k(sims, k)
 
-    return run(corpus, queries, mask)
+    return run
+
+
+def _masked_topk(corpus, queries, mask, k: int):
+    """(N,D) corpus × (Q,D) queries → top-k similarities/indices among
+    mask-true rows."""
+    return _masked_topk_fn(k)(corpus, queries, mask)
 
 
 class Client:

@@ -113,3 +113,15 @@ class TestFusedBatch:
         assert out.embeddings.shape == (8, 4, 64)
         norms = np.linalg.norm(np.asarray(out.embeddings), axis=-1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+
+
+class TestCrossViewDedup:
+    def test_config_roundtrip(self, tmp_path):
+        from multimodal_embeddings_tpu.config import PipelineConfig
+
+        p = str(tmp_path / "cfg.json")
+        PipelineConfig().to_json(p)
+        loaded = PipelineConfig.from_json(p)
+        assert loaded.orientation.sensitivity_threshold == 0.5
+        assert loaded.detector.image_size == 1024
+        assert loaded.embedder.family == "siglip"

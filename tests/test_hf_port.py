@@ -145,3 +145,72 @@ class TestQwenMap:
             target = qwen25_vl_key_map(key)
             assert target is not None, key
             assert target in flat, f"{key} -> {target} not in model"
+
+
+class TestTorchTensorAdaptation:
+    def test_linear_2d_transposed(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        rng = np.random.default_rng(0)
+        torch_w = rng.normal(size=(12, 8)).astype(np.float32)  # (out, in)
+        got = adapt_torch_tensor(torch_w, (8, 12), "model.layers.0.mlp.gate_proj.weight")
+        np.testing.assert_array_equal(got, torch_w.T)
+
+    def test_square_linear_transposed_not_identity(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        rng = np.random.default_rng(1)
+        torch_w = rng.normal(size=(6, 6)).astype(np.float32)
+        got = adapt_torch_tensor(torch_w, (6, 6), "visual.merger.mlp.0.weight")
+        np.testing.assert_array_equal(got, torch_w.T)  # Linear → transpose
+
+    def test_embedding_direct(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        rng = np.random.default_rng(2)
+        table = rng.normal(size=(100, 16)).astype(np.float32)
+        got = adapt_torch_tensor(table, (100, 16), "model.embed_tokens.weight")
+        np.testing.assert_array_equal(got, table)  # no transpose
+
+    def test_densegeneral_3d_reshape(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        # torch q_proj: (out=H*D, in); flax: (in, H, D)
+        in_dim, heads, dim = 8, 4, 2
+        torch_w = np.arange(in_dim * heads * dim, dtype=np.float32).reshape(
+            heads * dim, in_dim
+        )
+        got = adapt_torch_tensor(torch_w, (in_dim, heads, dim), "self_attn.q_proj.weight")
+        # row-major semantics: out axis (H*D) splits into (H, D)
+        want = torch_w.T.reshape(in_dim, heads, dim)
+        np.testing.assert_array_equal(got, want)
+        # functional equivalence: x @ W_flax.reshape(in,-1) == x @ torch_w.T
+        x = np.ones((1, in_dim), np.float32)
+        np.testing.assert_allclose(
+            x @ got.reshape(in_dim, -1), x @ torch_w.T
+        )
+
+    def test_oproj_3d_reshape(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        # torch o_proj: (out, in=H*D); flax: (H, D, out)
+        heads, dim, out = 4, 2, 8
+        torch_w = np.arange(out * heads * dim, dtype=np.float32).reshape(
+            out, heads * dim
+        )
+        got = adapt_torch_tensor(torch_w, (heads, dim, out), "self_attn.o_proj.weight")
+        want = torch_w.T.reshape(heads, dim, out)
+        np.testing.assert_array_equal(got, want)
+
+    def test_conv_hwio(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        torch_w = np.zeros((16, 3, 7, 7), np.float32)  # OIHW
+        got = adapt_torch_tensor(torch_w, (7, 7, 3, 16), "patch_embed.weight")
+        assert got.shape == (7, 7, 3, 16)
+
+    def test_size_mismatch_raises(self):
+        from multimodal_embeddings_tpu.models.weights import adapt_torch_tensor
+
+        with pytest.raises(ValueError):
+            adapt_torch_tensor(np.zeros((4, 5), np.float32), (4, 6), "x.weight")
