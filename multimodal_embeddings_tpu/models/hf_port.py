@@ -199,3 +199,159 @@ def qwen25_vl_key_map(torch_key: str) -> Optional[str]:
         if sub is not None:
             return f"params/vision/{sub}"
     return None
+
+
+# ---------------------------------------------------------------------------
+# Ultralytics YOLOv10 (DocStructBench) layout
+# ---------------------------------------------------------------------------
+
+# backbone/neck module index → our module path, for the standard v10 yaml
+# ordering (upsample/concat layers 11,12,14,15,18,21 have no parameters)
+_YOLO_INDEX_TO_MODULE = {
+    0: "backbone/stem",
+    1: "backbone/down2",
+    2: "backbone/c2f_2",
+    3: "backbone/down3",
+    4: "backbone/c2f_3",
+    5: "backbone/down4",
+    6: "backbone/c2f_4",
+    7: "backbone/down5",
+    8: "backbone/c2fcib_5",
+    9: "backbone/sppf",
+    10: "backbone/psa",
+    13: "neck/td_c2f_4",
+    16: "neck/td_c2f_3",
+    17: "neck/bu_down_3",
+    19: "neck/bu_c2fcib_4",
+    20: "neck/bu_down_4",
+    22: "neck/bu_c2fcib_5",
+    23: "head",
+}
+
+
+def _conv_bn(sub: str, rest: str):
+    """ultralytics Conv(.conv/.bn) → our ConvBnAct(conv/bn) leaves."""
+    leaf = {
+        "conv.weight": ("params", "conv/kernel"),
+        "bn.weight": ("params", "bn/scale"),
+        "bn.bias": ("params", "bn/bias"),
+        "bn.running_mean": ("batch_stats", "bn/mean"),
+        "bn.running_var": ("batch_stats", "bn/var"),
+    }.get(rest)
+    if leaf is None:
+        return None
+    collection, tail = leaf
+    return f"{collection}/{sub}/{tail}"
+
+
+def doclayout_key_map(torch_key: str):
+    """Map ultralytics ``model.N.<...>`` keys of a YOLOv10-family
+    checkpoint onto our DocLayoutYOLO tree.
+
+    Structurally validated against our own parameter tree (no DocStructBench
+    checkpoint ships in this environment); DocLayout-YOLO's added modules
+    (GL-CRM) will surface as unmapped keys and must be addressed when a real
+    checkpoint is portable. ``num_batches_tracked`` and EMA bookkeeping are
+    skipped.
+    """
+    k = torch_key
+    if k.startswith("model.model."):
+        k = k[len("model."):]
+    m = re.match(r"model\.(\d+)\.(.+)", k)
+    if m is None:
+        return None
+    idx, rest = int(m.group(1)), m.group(2)
+    module = _YOLO_INDEX_TO_MODULE.get(idx)
+    if module is None or rest.endswith("num_batches_tracked"):
+        return None
+
+    if module == "head":
+        return _head_key(rest)
+
+    prefix = f"{module}"
+
+    # bare Conv modules (stem, down2/3): keys are conv.*/bn.* directly
+    if rest.startswith(("conv.", "bn.")):
+        return _with_collection(_conv_bn(prefix, rest))
+
+    # plain Conv / SCDown / SPPF / C2f submodule routing
+    m2 = re.match(r"(cv1|cv2)\.(.+)", rest)
+    if m2:
+        return _with_collection(_conv_bn(f"{prefix}/{m2.group(1)}", m2.group(2)))
+    # C2f inner blocks: m.N.(...)
+    m2 = re.match(r"m\.(\d+)\.(.+)", rest)
+    if m2:
+        inner, tail = int(m2.group(1)), m2.group(2)
+        # Bottleneck: cv1/cv2; CIB: cv1.<0..4> sequential
+        m3 = re.match(r"cv1\.(\d)\.(.+)", tail)
+        if m3:
+            seq, leaf = int(m3.group(1)), m3.group(2)
+            cib_name = {0: "dw1", 1: "pw1", 2: "dw2", 3: "pw2", 4: "dw3"}[seq]
+            return _with_collection(
+                _conv_bn(f"{prefix}/m{inner}/{cib_name}", leaf)
+            )
+        m3 = re.match(r"(cv1|cv2)\.(.+)", tail)
+        if m3:
+            return _with_collection(
+                _conv_bn(f"{prefix}/m{inner}/{m3.group(1)}", m3.group(2))
+            )
+        return None
+    # PSA: attn.qkv/attn.proj/attn.pe, ffn.0/ffn.1
+    m2 = re.match(r"attn\.(qkv|proj|pe)\.(.+)", rest)
+    if m2:
+        return _with_collection(
+            _conv_bn(f"{prefix}/attn/{m2.group(1)}", m2.group(2))
+        )
+    m2 = re.match(r"ffn\.(\d)\.(.+)", rest)
+    if m2:
+        name = "ffn1" if m2.group(1) == "0" else "ffn2"
+        return _with_collection(_conv_bn(f"{prefix}/{name}", m2.group(2)))
+    return None
+
+
+def _with_collection(mapped):
+    if mapped is None:
+        return None
+    collection, tail = mapped.split("/", 1)
+    return f"{collection}/{tail}"
+
+
+def _head_key(rest: str):
+    """v10Detect: one2one_cv2/one2one_cv3 (the NMS-free inference branch we
+    instantiate) per level; the one-to-many training branch is skipped."""
+    m = re.match(r"one2one_cv([23])\.(\d)\.(.+)", rest)
+    if m is None:
+        return None
+    branch, level, tail = m.group(1), int(m.group(2)), m.group(3)
+    if branch == "2":  # regression: Conv, Conv, Conv2d
+        m2 = re.match(r"(\d)\.(.+)", tail)
+        if m2 is None:
+            return None
+        seq, leaf = int(m2.group(1)), m2.group(2)
+        if seq in (0, 1):
+            return _with_collection(
+                _conv_bn(f"head/reg{level}_cv{seq + 1}", leaf)
+            )
+        if seq == 2 and leaf == "weight":
+            return f"params/head/reg{level}_out/kernel"
+        if seq == 2 and leaf == "bias":
+            return f"params/head/reg{level}_out/bias"
+        return None
+    # classification: Sequential(Sequential(DW,PW), Sequential(DW,PW), Conv2d)
+    m2 = re.match(r"(\d)\.(\d)\.(.+)", tail)
+    if m2:
+        outer, inner, leaf = int(m2.group(1)), int(m2.group(2)), m2.group(3)
+        name = {(0, 0): "dw1", (0, 1): "pw1", (1, 0): "dw2", (1, 1): "pw2"}.get(
+            (outer, inner)
+        )
+        if name is None:
+            return None
+        return _with_collection(_conv_bn(f"head/cls{level}_{name}", leaf))
+    m2 = re.match(r"2\.(.+)", tail)
+    if m2:
+        leaf = m2.group(1)
+        if leaf == "weight":
+            return f"params/head/cls{level}_out/kernel"
+        if leaf == "bias":
+            return f"params/head/cls{level}_out/bias"
+    return None

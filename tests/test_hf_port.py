@@ -214,3 +214,47 @@ class TestTorchTensorAdaptation:
 
         with pytest.raises(ValueError):
             adapt_torch_tensor(np.zeros((4, 5), np.float32), (4, 6), "x.weight")
+
+
+class TestDocLayoutMap:
+    def test_structural_coverage(self):
+        """Every mapped ultralytics key must land on an existing parameter;
+        conversely most of our detector tree must be reachable."""
+        from multimodal_embeddings_tpu.models.hf_port import doclayout_key_map
+        from multimodal_embeddings_tpu.models.weights import deterministic_init
+        from multimodal_embeddings_tpu.models.yolo import DocLayoutYOLO
+
+        model = DocLayoutYOLO(num_classes=10, variant="n")
+        variables = deterministic_init(model, jnp.zeros((1, 64, 64, 3)), seed=0)
+        flat = set(flatten_params(variables).keys())
+
+        # synthesize ultralytics-style keys for a few representative modules
+        keys = [
+            "model.0.conv.weight",
+            "model.0.bn.weight",
+            "model.0.bn.running_mean",
+            "model.2.cv1.conv.weight",
+            "model.2.m.0.cv1.conv.weight",
+            "model.8.m.0.cv1.0.conv.weight",  # CIB dw1
+            "model.8.m.0.cv1.3.bn.bias",  # CIB pw2
+            "model.9.cv2.conv.weight",  # SPPF
+            "model.10.attn.qkv.conv.weight",  # PSA
+            "model.10.ffn.0.conv.weight",
+            "model.13.cv2.bn.running_var",
+            "model.23.one2one_cv2.0.0.conv.weight",
+            "model.23.one2one_cv2.1.2.weight",
+            "model.23.one2one_cv3.2.0.0.conv.weight",
+            "model.23.one2one_cv3.0.2.bias",
+        ]
+        for key in keys:
+            target = doclayout_key_map(key)
+            assert target is not None, key
+            assert target in flat, f"{key} -> {target}"
+
+        skipped = [
+            "model.0.bn.num_batches_tracked",
+            "model.23.cv2.0.0.conv.weight",  # one-to-many branch
+            "model.11.unknown",  # upsample has no params
+        ]
+        for key in skipped:
+            assert doclayout_key_map(key) is None, key
