@@ -61,7 +61,7 @@ def make_page(height: int, width: int, seed: int = 0) -> np.ndarray:
     return page
 
 
-def build_pipeline(quick: bool):
+def build_pipeline(quick: bool, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -94,32 +94,45 @@ def build_pipeline(quick: bool):
     embedder = MultimodalEmbedder(
         EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
     )
-    fused = build_fused_page_fn(detector, embedder, page_hw, num_regions=n_regions)
+    if batch > 1:
+        from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
+
+        fused = build_fused_batch_fn(
+            detector, embedder, page_hw, num_regions=n_regions
+        )
+    else:
+        fused = build_fused_page_fn(detector, embedder, page_hw, num_regions=n_regions)
     return fused, page_hw, n_regions
 
 
-def run_bench(pages: int, quick: bool) -> dict:
+def run_bench(pages: int, quick: bool, batch: int = 1) -> dict:
     import jax
 
-    fused, page_hw, n_regions = build_pipeline(quick)
+    fused, page_hw, n_regions = build_pipeline(quick, batch=batch)
     page = make_page(*page_hw)
 
     import jax.numpy as jnp
 
-    page_dev = jnp.asarray(page)
+    if batch > 1:
+        page_dev = jnp.asarray(
+            np.broadcast_to(page, (batch, *page.shape)).copy()
+        )
+    else:
+        page_dev = jnp.asarray(page)
     # compile + 2 warmup runs
     result = fused(page_dev)
     jax.block_until_ready(result)
     result = fused(page_dev)
     jax.block_until_ready(result)
 
+    iters = max(1, pages // batch)
     start = time.perf_counter()
-    for i in range(pages):
+    for i in range(iters):
         result = fused(page_dev)
     jax.block_until_ready(result)
     elapsed = time.perf_counter() - start
 
-    pages_per_sec = pages / elapsed
+    pages_per_sec = iters * batch / elapsed
     return {
         "pages_per_sec": pages_per_sec,
         "elapsed_s": elapsed,
@@ -216,6 +229,7 @@ def _cpu_baseline(path: str) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pages", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=1, help="pages per fused execution")
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--measure-cpu-baseline", action="store_true")
     args = parser.parse_args()
@@ -226,7 +240,7 @@ def main() -> None:
         _cpu_baseline(baseline_path)
         return
 
-    info = run_bench(args.pages, args.quick)
+    info = run_bench(args.pages, args.quick, batch=args.batch)
 
     vs_baseline = None
     if os.path.exists(baseline_path) and not args.quick:
