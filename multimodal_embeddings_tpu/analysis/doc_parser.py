@@ -187,7 +187,14 @@ class DocumentParser:
 
         unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
         n_tokens = (self.image_size // unit) ** 2
-        ids = self.build_prompt_ids(n_tokens, self.model.config.text.max_len)
+        # leave generation headroom inside the static KV cache
+        prompt_budget = self.model.config.text.max_len - max_new_tokens
+        if prompt_budget < n_tokens + 4:
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} leaves no prompt room within "
+                f"max_len={self.model.config.text.max_len}"
+            )
+        ids = self.build_prompt_ids(n_tokens, prompt_budget)
         out_tokens = greedy_generate(
             self.model, self.variables, ids, arr, max_new_tokens=max_new_tokens
         )

@@ -187,9 +187,9 @@ class MultimodalEmbedder:
             self._image_fn = self._build_image_fn()
         batch_size = batch_size or self.config.batch_size
         if self.mesh is not None:
-            # keep full batches divisible over the data axis
+            # padded batches must divide evenly over the data axis
             data_size = self.mesh.shape[DATA_AXIS]
-            batch_size = max(batch_size, data_size)
+            batch_size = ((batch_size + data_size - 1) // data_size) * data_size
 
         results: List[Optional[List[float]]] = [None] * len(images)
         pending: List[tuple[int, np.ndarray]] = []

@@ -137,8 +137,8 @@ def _mme5_key_map(torch_key: str, cross_layers) -> Optional[str]:
         }.get(rest)
         if sub is not None:
             return f"{prefix}/{sub}"
-        if rest == "gate_attn" and tower == "global_transformer":
-            return f"params/vision_model/global{layer}_gate"
+        if tower == "global_transformer" and rest in ("gate_attn", "gate_ffn"):
+            return f"params/vision_model/global{layer}/{rest}"
         return None
     return None
 

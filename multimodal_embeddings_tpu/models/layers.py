@@ -223,23 +223,19 @@ class PSAAttention(nn.Module):
         head_dim = c // self.num_heads
         key_dim = int(head_dim * self.attn_ratio)
         scale = key_dim**-0.5
-        qk = 2 * key_dim * self.num_heads
+        per_head = 2 * key_dim + head_dim
         qkv = ConvBnAct(
-            qk + c, 1, act=False, dtype=self.dtype, name="qkv"
+            per_head * self.num_heads, 1, act=False, dtype=self.dtype, name="qkv"
         )(x, train)
-        qkv = qkv.reshape(b, h * w, -1)
-        q = qkv[..., : key_dim * self.num_heads]
-        k = qkv[..., key_dim * self.num_heads : qk]
-        v = qkv[..., qk:]
-
-        def split_heads(t, dim):
-            return t.reshape(b, h * w, self.num_heads, dim)
+        # ultralytics v10 Attention packs channels per head as [q|k|v]
+        # (view(B, nh, 2*kd+hd, N).split(...)); match that interleave so
+        # ported qkv weights keep their channel meaning
+        qkv = qkv.reshape(b, h * w, self.num_heads, per_head)
+        q = qkv[..., :key_dim]
+        k = qkv[..., key_dim : 2 * key_dim]
+        v = qkv[..., 2 * key_dim :]
 
         from multimodal_embeddings_tpu.models.transformer import sdpa
-
-        q = split_heads(q, key_dim)
-        k = split_heads(k, key_dim)
-        v = split_heads(v, head_dim)
         # sdpa scales by 1/sqrt(key_dim) internally — matches `scale`
         del scale
         out = sdpa(q, k, v)  # flash-dispatches on TPU for the 1024-token map

@@ -40,6 +40,7 @@ from multimodal_embeddings_tpu.models.transformer import (
     Attention,
     CrossAttentionBlock,
     EncoderBlock,
+    GatedEncoderBlock,
     LlamaBlock,
     RMSNorm,
     last_token_pool,
@@ -143,24 +144,25 @@ class MllamaVisionEncoder(nn.Module):
 
         intermediates = []
         for i in range(cfg.layers):
+            # HF Mllama's intermediate_layers_indices select hidden_states[i],
+            # which is the INPUT of layer i (hidden_states[0] = embeddings) —
+            # capture before the layer runs
+            if i in cfg.intermediate_layers:
+                intermediates.append(x)
             x = EncoderBlock(
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 name=f"local{i}",
             )(x)
-            if i in cfg.intermediate_layers:
-                intermediates.append(x)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
         for i in range(cfg.global_layers):
-            gate_attn = self.param(f"global{i}_gate", nn.initializers.zeros, (1,))
-            h = EncoderBlock(
+            x = GatedEncoderBlock(
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 name=f"global{i}",
             )(x)
-            x = x + jnp.tanh(gate_attn) * (h - x)
 
         # Mllama concatenates selected intermediate states with the final
         # output before projection.

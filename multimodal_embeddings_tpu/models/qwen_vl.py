@@ -333,6 +333,9 @@ class QwenVLModel(nn.Module):
         return self.lm_head(x), new_caches
 
 
+_GENERATE_CACHE: dict = {}
+
+
 def greedy_generate(
     model: QwenVLModel,
     variables,
@@ -343,11 +346,28 @@ def greedy_generate(
     """Greedy decoding with a static KV cache under ``lax.scan``.
 
     Returns the generated token ids (B, max_new_tokens); positions after
-    EOS are padded with EOS.
+    EOS are padded with EOS. Jitted prefill/decode programs are cached per
+    (model, variables, shapes) so repeated page parses reuse compiles.
     """
     eos = model.config.eos_id
     prompt = jnp.asarray(token_ids)
     b, prompt_len = prompt.shape
+    if prompt_len + max_new_tokens > model.config.text.max_len:
+        raise ValueError(
+            f"prompt_len {prompt_len} + max_new_tokens {max_new_tokens} "
+            f"exceeds max_len {model.config.text.max_len} — the KV cache and "
+            "RoPE tables would silently clamp"
+        )
+
+    img_shape = None if images is None else tuple(np.shape(images))
+    cache_key = (id(model), id(variables), b, prompt_len, max_new_tokens, img_shape)
+    cached = _GENERATE_CACHE.get(cache_key)
+    if cached is not None:
+        prefill, decode = cached
+        last_logits, caches = prefill(
+            prompt, None if images is None else jnp.asarray(images)
+        )
+        return np.asarray(decode(last_logits, caches))
 
     @jax.jit
     def prefill(tokens, imgs):
@@ -382,4 +402,5 @@ def greedy_generate(
         )
         return tokens.transpose(1, 0)  # (B, T)
 
+    _GENERATE_CACHE[cache_key] = (prefill, decode)
     return np.asarray(decode(last_logits, caches))

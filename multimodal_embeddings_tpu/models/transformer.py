@@ -259,6 +259,32 @@ class EncoderBlock(nn.Module):
         return x + h
 
 
+class GatedEncoderBlock(nn.Module):
+    """Mllama global-transformer layer: each residual branch is tanh-gated
+    separately (``x += tanh(gate_attn)·attn; x += tanh(gate_ffn)·mlp``)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        d = x.shape[-1]
+        gate_attn = self.param("gate_attn", nn.initializers.zeros, (1,))
+        gate_ffn = self.param("gate_ffn", nn.initializers.zeros, (1,))
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            head_dim=d // self.num_heads,
+            dtype=self.dtype,
+            name="attn",
+        )(h, mask=mask)
+        x = x + jnp.tanh(gate_attn) * h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = GeluMLP(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        return x + jnp.tanh(gate_ffn) * h
+
+
 class LlamaBlock(nn.Module):
     """Llama-3 decoder block: RMSNorm + GQA-RoPE attention + SwiGLU."""
 

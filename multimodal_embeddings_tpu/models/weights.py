@@ -130,6 +130,11 @@ def adapt_torch_tensor(arr: np.ndarray, target_shape, tkey: str = "?"):
     * 1-D bias → reshape to the target.
     """
     target_shape = tuple(target_shape)
+    if arr.ndim == 5 and len(target_shape) == 4:
+        # Qwen2.5-VL patch embed is a Conv3d (O, I, T, H, W); image inputs
+        # repeat the frame across T, so summing the temporal axis gives the
+        # mathematically exact 2-D kernel
+        arr = arr.sum(axis=2)
     if arr.ndim == 4:
         arr = torch_conv_to_flax(arr)
         if arr.shape != target_shape:

@@ -88,14 +88,18 @@ class ContrastiveTrainer:
         self.mesh = mesh
         self.tx = make_optimizer(trainer_config)
 
+        from multimodal_embeddings_tpu.models.weights import init_on_host
+
         rng = jax.random.PRNGKey(seed)
         s = model_config.vision.image_size
         l = model_config.text.max_len
-        variables = self.model.init(
-            {"params": rng},
-            jnp.zeros((1, s, s, 3), jnp.float32),
-            jnp.zeros((1, l), jnp.int32),
-            jnp.ones((1, l), jnp.int32),
+        variables = init_on_host(
+            lambda: self.model.init(
+                {"params": rng},
+                jnp.zeros((1, s, s, 3), jnp.float32),
+                jnp.zeros((1, l), jnp.int32),
+                jnp.ones((1, l), jnp.int32),
+            )
         )
         if mesh is not None:
             variables = psharding.shard_variables(variables, mesh)
@@ -129,9 +133,9 @@ class ContrastiveTrainer:
     def shard_batch(self, array):
         if self.mesh is None:
             return array
-        return jax.device_put(
-            array, NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (array.ndim - 1))))
-        )
+        from multimodal_embeddings_tpu.core.mesh import shard_batch as _shard
+
+        return _shard(self.mesh, array)
 
     def train_step(self, images, token_ids, attention_mask) -> Dict[str, Any]:
         images = self.shard_batch(jnp.asarray(images, jnp.float32))
