@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--reset", action="store_true")
     parser.add_argument("--diagnostic", action="store_true")
     parser.add_argument("--n-clusters", type=int, default=None)
-    parser.add_argument("--similarity-threshold", type=float, default=0.3)
+    # reference complete_workflow.py:98 default (config's 0.3 constant is
+    # the region_compare threshold, not this one)
+    parser.add_argument("--similarity-threshold", type=float, default=0.1)
     parser.add_argument("--prefix-length", type=int, default=None)
     parser.add_argument("--embedder_family", choices=["siglip", "mme5"], default="siglip")
     parser.add_argument(
@@ -64,7 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--run_demo", action="store_true")
     parser.add_argument("--run_cross_compare", action="store_true")
     parser.add_argument("--run_region_compare", action="store_true")
-    parser.add_argument("--correct_orientation", action="store_true")
+    parser.add_argument(
+        "--skip_orientation",
+        action="store_true",
+        help="skip deskew (reference ORIENTATION_CORRECTION_ENABLED=True default)",
+    )
+    parser.add_argument(
+        "--correct_orientation",
+        action="store_true",
+        help="deprecated: orientation now runs by default; use "
+        "--skip_orientation to disable",
+    )
     parser.add_argument(
         "--trace_dir",
         default=None,
@@ -100,16 +112,31 @@ def _run(args, timer) -> int:
     run = lambda stage: args.stage in ("all", stage)  # noqa: E731
 
     # --- stage: orient -----------------------------------------------------
-    if run("orient") and args.correct_orientation:
+    # Non-destructive: corrected copies go to output/oriented_images and
+    # downstream stages consume them (complete_workflow.py:148-160); the
+    # source scans are never overwritten.
+    if run("orient") and not args.skip_orientation:
         from multimodal_embeddings_tpu.pipeline.orientation import (
             batch_correct_orientation,
         )
 
+        oriented_folder = os.path.join(args.output_folder, "oriented_images")
         progress = ProgressTracker(
             os.path.join(args.output_folder, "orientation_progress.json")
         )
         with timer.stage("orient", len(image_paths)):
-            batch_correct_orientation(image_paths, None, progress=progress)
+            results = batch_correct_orientation(
+                image_paths, oriented_folder, progress=progress
+            )
+        corrected = {r.image_path: r.output_path for r in results}
+        image_paths = [corrected.get(p, p) for p in image_paths]
+        # resumed items were skipped by the tracker but their outputs exist
+        image_paths = [
+            os.path.join(oriented_folder, os.path.basename(p))
+            if os.path.exists(os.path.join(oriented_folder, os.path.basename(p)))
+            else p
+            for p in image_paths
+        ]
 
     detector = embedder = collection = None
 

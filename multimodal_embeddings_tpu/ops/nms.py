@@ -28,6 +28,23 @@ import numpy as np
 from multimodal_embeddings_tpu.ops.iou import iou_matrix, iou_matrix_np
 
 
+def greedy_nms_host(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    classes: np.ndarray | None = None,
+    iou_threshold: float = 0.5,
+) -> np.ndarray:
+    """Host greedy NMS: the native C++ kernel when available (bit-identical,
+    verified in tests), NumPy otherwise. Production host callers use this;
+    ``greedy_nms_np`` stays pure for parity testing."""
+    from multimodal_embeddings_tpu.utils.native import greedy_nms_native
+
+    native = greedy_nms_native(boxes, scores, classes, iou_threshold)
+    if native is not None:
+        return native
+    return greedy_nms_np(boxes, scores, classes, iou_threshold)
+
+
 def greedy_nms_np(
     boxes: np.ndarray,
     scores: np.ndarray,

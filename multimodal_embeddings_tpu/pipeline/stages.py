@@ -33,7 +33,7 @@ from multimodal_embeddings_tpu.io.json_io import (
 from multimodal_embeddings_tpu.io.logging_setup import get_logger
 from multimodal_embeddings_tpu.ops.columns import find_column_centers
 from multimodal_embeddings_tpu.ops.edge_filter import internal_edge_mask_np
-from multimodal_embeddings_tpu.ops.nms import greedy_nms_np
+from multimodal_embeddings_tpu.ops.nms import greedy_nms_host
 from multimodal_embeddings_tpu.ops.widths import (
     bin_widths,
     median_from_bins,
@@ -59,13 +59,16 @@ def _json_files(folder: str) -> List[str]:
     return sorted(paths)
 
 
-def _cell_bounds(cell_coordinates) -> tuple:
+def _cell_bounds(cell_coordinates, width: float = 0.0, height: float = 0.0) -> tuple:
+    """Missing x_end/y_end default to the PAGE dims (the reference's
+    ``.get('x_end', image_width)`` at 2_edge_box_filter.py:65-66 — a 0
+    default would mark every edge internal and drop all boxes)."""
     if isinstance(cell_coordinates, dict):
         return (
             cell_coordinates.get("x_start", 0),
             cell_coordinates.get("y_start", 0),
-            cell_coordinates.get("x_end", 0),
-            cell_coordinates.get("y_end", 0),
+            cell_coordinates.get("x_end", width),
+            cell_coordinates.get("y_end", height),
         )
     return tuple(cell_coordinates)
 
@@ -86,7 +89,7 @@ def _page_size_for_grid(grid_info: Dict) -> Optional[tuple]:
         return None
     xs, ys = [], []
     for cell in cells:
-        x0, y0, x1, y1 = _cell_bounds(cell["cell_coordinates"])
+        x0, y0, x1, y1 = _cell_bounds(cell["cell_coordinates"], 0.0, 0.0)
         xs.append(x1)
         ys.append(y1)
     return max(xs), max(ys)
@@ -104,7 +107,7 @@ def edge_filter_regions(regions: Dict, threshold: float = 10.0) -> Dict:
         return regions
     width = regions["image_size"]["width"]
     height = regions["image_size"]["height"]
-    bounds = _cell_bounds(regions["cell_coordinates"])
+    bounds = _cell_bounds(regions["cell_coordinates"], width, height)
     boxes = np.asarray(regions["boxes"], dtype=np.float64).reshape(-1, 4)
     remove = internal_edge_mask_np(boxes, bounds, width, height, threshold)
     keep = [i for i in range(len(regions["boxes"])) if not remove[i]]
@@ -126,7 +129,7 @@ def edge_filter_grid_info(grid_info: Dict, threshold: float = 10.0) -> Optional[
         out["grid_config"] = grid_info["grid_config"]
 
     for cell in grid_info["cells"]:
-        bounds = _cell_bounds(cell["cell_coordinates"])
+        bounds = _cell_bounds(cell["cell_coordinates"], width, height)
         boxes = np.asarray(
             cell["regions"]["boxes_original"], dtype=np.float64
         ).reshape(-1, 4)
@@ -289,7 +292,7 @@ def combine_image_jsons(
     if not all_boxes:
         return None
 
-    keep = greedy_nms_np(
+    keep = greedy_nms_host(
         np.asarray(all_boxes, dtype=np.float64),
         np.asarray(all_scores, dtype=np.float64),
         np.asarray(all_classes, dtype=np.float64),

@@ -86,38 +86,54 @@ class Collection:
     # -- persistence --------------------------------------------------------
 
     def _load(self) -> None:
-        emb_path = os.path.join(self.path, "embeddings.npy")
-        if not os.path.exists(emb_path):
+        bundle = os.path.join(self.path, "collection.npz")
+        if os.path.exists(bundle):
+            with np.load(bundle, allow_pickle=False) as data:
+                self._embeddings = data["embeddings"]
+                self._ids = json.loads(str(data["ids_json"]))
+                self._metadatas = json.loads(str(data["metadata_json"]))
+        elif os.path.exists(os.path.join(self.path, "embeddings.npy")):
+            # legacy triple-file layout (pre-atomic)
+            self._embeddings = np.load(os.path.join(self.path, "embeddings.npy"))
+            with open(os.path.join(self.path, "ids.json")) as f:
+                self._ids = json.load(f)
+            self._metadatas = []
+            with open(os.path.join(self.path, "metadata.jsonl")) as f:
+                for line in f:
+                    self._metadatas.append(json.loads(line))
+        else:
             return
-        self._embeddings = np.load(emb_path)
-        with open(os.path.join(self.path, "ids.json")) as f:
-            self._ids = json.load(f)
-        self._metadatas = []
-        with open(os.path.join(self.path, "metadata.jsonl")) as f:
-            for line in f:
-                self._metadatas.append(json.loads(line))
-        self._id_index = {i: n for n, i in enumerate(self._ids)}
+        n = min(len(self._ids), len(self._metadatas), len(self._embeddings))
+        if n != len(self._ids) or n != len(self._embeddings):
+            logger.warning(
+                "collection %s inconsistent (%d ids / %d rows) — truncating to %d",
+                self.name, len(self._ids), len(self._embeddings), n,
+            )
+            self._ids = self._ids[:n]
+            self._metadatas = self._metadatas[:n]
+            self._embeddings = self._embeddings[:n]
+        self._id_index = {i: n_ for n_, i in enumerate(self._ids)}
         logger.info(
             "loaded collection %s: %d embeddings", self.name, len(self._ids)
         )
 
     def persist(self) -> None:
+        """Atomic persistence: everything goes into ONE .npz replaced in a
+        single os.replace, so a crash can never leave ids/embeddings/
+        metadata mutually inconsistent."""
         with self._lock:
             os.makedirs(self.path, exist_ok=True)
             if self._embeddings is None:
                 return
-            tmp = os.path.join(self.path, ".tmp_embeddings.npy")
-            np.save(tmp, self._embeddings)
-            os.replace(tmp, os.path.join(self.path, "embeddings.npy"))
-            tmp = os.path.join(self.path, ".tmp_ids.json")
-            with open(tmp, "w") as f:
-                json.dump(self._ids, f)
-            os.replace(tmp, os.path.join(self.path, "ids.json"))
-            tmp = os.path.join(self.path, ".tmp_metadata.jsonl")
-            with open(tmp, "w") as f:
-                for m in self._metadatas:
-                    f.write(json.dumps(m) + "\n")
-            os.replace(tmp, os.path.join(self.path, "metadata.jsonl"))
+            tmp = os.path.join(self.path, ".tmp_collection.npz")
+            np.savez(
+                tmp,
+                embeddings=self._embeddings,
+                ids_json=np.asarray(json.dumps(self._ids)),
+                metadata_json=np.asarray(json.dumps(self._metadatas)),
+            )
+            # np.savez appends .npz when missing — tmp already has it
+            os.replace(tmp, os.path.join(self.path, "collection.npz"))
 
     # -- mutation -----------------------------------------------------------
 
@@ -136,8 +152,15 @@ class Collection:
             if documents is not None:
                 for m, d in zip(metadatas, documents):
                     m.setdefault("document", d)
+            # duplicate ids within one call: last occurrence wins (Chroma
+            # semantics) — dedup before touching indices
+            latest = {}
+            for i, item_id in enumerate(ids):
+                latest[item_id] = i
             new_rows = []
             for i, (item_id, emb) in enumerate(zip(ids, embs)):
+                if latest[item_id] != i:
+                    continue
                 if item_id in self._id_index:
                     idx = self._id_index[item_id]
                     self._embeddings[idx] = emb

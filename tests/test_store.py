@@ -132,3 +132,51 @@ class TestClient:
         assert "two" in client.list_collections()
         client.delete_collection("two")
         assert "two" not in client.list_collections()
+
+
+class TestUpsertDuplicates:
+    def test_duplicate_ids_in_one_call(self, collection):
+        collection.upsert(
+            ids=["dup", "dup"],
+            embeddings=[unit([1, 0, 0]), unit([0, 1, 0])],
+            metadatas=[{"v": 1}, {"v": 2}],
+        )
+        assert collection.count() == 1
+        got = collection.get(ids=["dup"], include=("embeddings", "metadatas"))
+        np.testing.assert_allclose(got["embeddings"][0], [0, 1, 0])  # last wins
+        assert got["metadatas"][0] == {"v": 2}
+
+    def test_atomic_bundle_on_disk(self, tmp_path):
+        import os
+
+        _, col = initialize_db(str(tmp_path / "dbx"))
+        col.upsert(ids=["a"], embeddings=[unit([1, 0])])
+        files = os.listdir(col.path)
+        assert "collection.npz" in files
+        assert "embeddings.npy" not in files
+
+    def test_legacy_triple_file_load(self, tmp_path):
+        import json as json_mod
+        import os
+
+        legacy = tmp_path / "dbl" / "newspaper_image_embeddings"
+        legacy.mkdir(parents=True)
+        np.save(str(legacy / "embeddings.npy"), np.eye(2, 3, dtype=np.float32))
+        (legacy / "ids.json").write_text(json_mod.dumps(["x", "y"]))
+        (legacy / "metadata.jsonl").write_text('{"a": 1}\n{"a": 2}\n')
+        _, col = initialize_db(str(tmp_path / "dbl"))
+        assert col.count() == 2
+        assert col.get(ids=["y"])["metadatas"][0] == {"a": 2}
+
+    def test_inconsistent_load_truncates(self, tmp_path):
+        import json as json_mod
+
+        broken = tmp_path / "dbb" / "newspaper_image_embeddings"
+        broken.mkdir(parents=True)
+        np.save(str(broken / "embeddings.npy"), np.eye(3, 4, dtype=np.float32))
+        (broken / "ids.json").write_text(json_mod.dumps(["x", "y"]))  # only 2
+        (broken / "metadata.jsonl").write_text('{}\n{}\n')
+        _, col = initialize_db(str(tmp_path / "dbb"))
+        assert col.count() == 2  # truncated, not crashed
+        res = col.query([[1, 0, 0, 0]], n_results=2)
+        assert len(res["ids"][0]) == 2
