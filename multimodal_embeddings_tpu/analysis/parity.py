@@ -73,7 +73,9 @@ def match_boxes(
     flat = np.argsort(-iou, axis=None)
     for idx in flat:
         i, j = np.unravel_index(idx, iou.shape)
-        if iou[i, j] < iou_floor:
+        # zero-IoU pairs (disjoint or class-masked) are never matches, even
+        # at iou_floor=0
+        if iou[i, j] <= 0.0 or iou[i, j] < iou_floor:
             break
         if used_ref[i] or used_cand[j]:
             continue
@@ -107,13 +109,18 @@ def compare_detection_dirs(
     all_ious: List[float] = []
     total_ref = total_cand = total_matched = 0
     missing = []
+    class_gating_skipped = []
     for name, ref_path in sorted(ref_files.items()):
         cand_path = os.path.join(candidate_dir, name)
-        if not os.path.exists(cand_path):
-            missing.append(name)
-            continue
         ref = load_json(ref_path)
+        if not os.path.exists(cand_path):
+            # missing pages still count: their reference boxes are unmatched
+            missing.append(name)
+            total_ref += len(ref.get("boxes", []))
+            continue
         cand = load_json(cand_path)
+        if class_aware and not (ref.get("classes") and cand.get("classes")):
+            class_gating_skipped.append(name)
         parity = match_boxes(
             np.asarray(ref.get("boxes", [])),
             np.asarray(cand.get("boxes", [])),
@@ -131,15 +138,30 @@ def compare_detection_dirs(
         total_cand += parity.n_candidate
         total_matched += parity.n_matched
 
+    # candidate-only pages count against precision (hallucinated output)
+    extra_candidates = []
+    for path in glob.glob(os.path.join(candidate_dir, "*.json")):
+        name = os.path.basename(path)
+        if name not in ref_files:
+            extra_candidates.append(name)
+            total_cand += len(load_json(path).get("boxes", []))
+
+    if class_gating_skipped:
+        logger.warning(
+            "class-aware parity requested but %d pages lack 'classes' — "
+            "those pages matched class-agnostically", len(class_gating_skipped)
+        )
     summary = {
         "pages": len(results),
         "missing_candidates": missing,
+        "extra_candidates": extra_candidates,
+        "class_gating_skipped": class_gating_skipped,
         "total_reference_boxes": total_ref,
         "total_candidate_boxes": total_cand,
         "total_matched": total_matched,
         "mean_matched_iou": float(np.mean(all_ious)) if all_ious else 0.0,
-        "recall": total_matched / total_ref if total_ref else 1.0,
-        "precision": total_matched / total_cand if total_cand else 1.0,
+        "recall": total_matched / total_ref if total_ref else 0.0,
+        "precision": total_matched / total_cand if total_cand else 0.0,
         "per_page": {
             name: {
                 "mean_iou": p.mean_matched_iou,

@@ -74,6 +74,9 @@ class FusedServer:
             model_config=model_config,
         )
         _, self.collection = initialize_db(args.db_path)
+        from multimodal_embeddings_tpu.pipeline.regions import ImageProcessor
+
+        self._image_processor = ImageProcessor(self.embedder, self.collection)
         self.progress = ProgressTracker(
             os.path.join(args.db_path, "serve_progress.json")
         )
@@ -145,23 +148,9 @@ class FusedServer:
         if ids:
             self.collection.upsert(ids=ids, embeddings=embs, metadatas=metas)
         # whole-page embedding (is_region: False) so page-level analysis
-        # (cross_compare, demo queries) works against serve-built stores
-        page_emb = self.embedder.get_image_embeddings([path], batch_size=1)[0]
-        if page_emb is not None:
-            import time as _time
-
-            self.collection.upsert(
-                ids=[os.path.basename(path)],
-                embeddings=[page_emb],
-                metadatas=[
-                    {
-                        "image_name": os.path.basename(path),
-                        "image_path": os.path.abspath(path),
-                        "processed_time": _time.strftime("%Y-%m-%d %H:%M:%S"),
-                        "is_region": False,
-                    }
-                ],
-            )
+        # (cross_compare, demo queries) works against serve-built stores;
+        # ImageProcessor provides the schema + store-existence dedup
+        self._image_processor.process_image(path)
         self.progress.mark_completed(path)
         return len(ids)
 

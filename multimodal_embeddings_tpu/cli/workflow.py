@@ -125,18 +125,21 @@ def _run(args, timer) -> int:
             os.path.join(args.output_folder, "orientation_progress.json")
         )
         with timer.stage("orient", len(image_paths)):
-            results = batch_correct_orientation(
+            batch_correct_orientation(
                 image_paths, oriented_folder, progress=progress
             )
-        corrected = {r.image_path: r.output_path for r in results}
-        image_paths = [corrected.get(p, p) for p in image_paths]
-        # resumed items were skipped by the tracker but their outputs exist
-        image_paths = [
-            os.path.join(oriented_folder, os.path.basename(p))
-            if os.path.exists(os.path.join(oriented_folder, os.path.basename(p)))
-            else p
-            for p in image_paths
-        ]
+
+    # Prefer oriented copies whenever they exist — also when this invocation
+    # runs only a later stage after a previous `--stage orient` run, so
+    # per-stage invocations see the same (corrected) inputs and the same
+    # progress keys as a full `--stage all` run.
+    oriented_folder = os.path.join(args.output_folder, "oriented_images")
+    image_paths = [
+        os.path.join(oriented_folder, os.path.basename(p))
+        if os.path.exists(os.path.join(oriented_folder, os.path.basename(p)))
+        else p
+        for p in image_paths
+    ]
 
     detector = embedder = collection = None
 

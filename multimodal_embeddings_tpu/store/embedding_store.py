@@ -104,7 +104,11 @@ class Collection:
         else:
             return
         n = min(len(self._ids), len(self._metadatas), len(self._embeddings))
-        if n != len(self._ids) or n != len(self._embeddings):
+        if (
+            n != len(self._ids)
+            or n != len(self._embeddings)
+            or n != len(self._metadatas)
+        ):
             logger.warning(
                 "collection %s inconsistent (%d ids / %d rows) — truncating to %d",
                 self.name, len(self._ids), len(self._embeddings), n,
@@ -124,6 +128,14 @@ class Collection:
         with self._lock:
             os.makedirs(self.path, exist_ok=True)
             if self._embeddings is None:
+                # collection emptied: remove stale bundles so deleted rows
+                # cannot resurrect on the next load
+                for name in (
+                    "collection.npz", "embeddings.npy", "ids.json", "metadata.jsonl"
+                ):
+                    target = os.path.join(self.path, name)
+                    if os.path.exists(target):
+                        os.remove(target)
                 return
             tmp = os.path.join(self.path, ".tmp_collection.npz")
             np.savez(

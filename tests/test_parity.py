@@ -111,3 +111,43 @@ class TestEmbeddingParity:
         summary = compare_embedding_stores(a, b)
         assert summary["missing"] == ["only_in_a"]
         assert summary["count"] == 0
+
+
+class TestParityAggregation:
+    def test_missing_pages_count_against_recall(self, golden_combined_dir, tmp_path):
+        """An empty candidate directory must read as total failure, not as a
+        vacuous pass."""
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        summary = compare_detection_dirs(golden_combined_dir, str(empty))
+        assert summary["recall"] == 0.0
+        assert len(summary["missing_candidates"]) >= 15
+        assert summary["total_reference_boxes"] > 0
+
+    def test_extra_candidate_pages_hit_precision(self, tmp_path):
+        ref_dir = tmp_path / "ref"
+        cand_dir = tmp_path / "cand"
+        ref_dir.mkdir(); cand_dir.mkdir()
+        page = {"boxes": [[0, 0, 10, 10]], "classes": [1.0]}
+        (ref_dir / "a.json").write_text(json.dumps(page))
+        (cand_dir / "a.json").write_text(json.dumps(page))
+        (cand_dir / "hallucinated.json").write_text(json.dumps(page))
+        summary = compare_detection_dirs(str(ref_dir), str(cand_dir))
+        assert summary["extra_candidates"] == ["hallucinated.json"]
+        assert summary["precision"] == 0.5 and summary["recall"] == 1.0
+
+    def test_iou_floor_zero_never_matches_disjoint(self):
+        ref = np.array([[0, 0, 10, 10]], np.float64)
+        cand = np.array([[100, 100, 110, 110]], np.float64)
+        parity = match_boxes(ref, cand, iou_floor=0.0)
+        assert parity.n_matched == 0
+
+
+class TestStoreEmptyPersist:
+    def test_delete_all_rows_does_not_resurrect(self, tmp_path):
+        _, col = initialize_db(str(tmp_path / "dbe"))
+        col.upsert(ids=["a"], embeddings=[[1.0, 0.0]])
+        col.delete(["a"])
+        assert col.count() == 0
+        _, col2 = initialize_db(str(tmp_path / "dbe"))
+        assert col2.count() == 0
