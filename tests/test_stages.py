@@ -294,3 +294,32 @@ class TestAllGoldensPipeline:
             # (correctly) edge-filtered out of the synthetic cell views and
             # only half of them reappear via the every-other-box base JSON
             assert recall > 0.8, (os.path.basename(path), recall)
+
+
+class TestColumnsOnAllGoldens:
+    def test_columns_for_every_golden_page(self, golden_combined_dir, tmp_path):
+        """Run the real stage-4 + stage-5 host math over every checked-in
+        combined golden and sanity-check the analysis outputs."""
+        from multimodal_embeddings_tpu.pipeline.stages import columns_for_page
+        from multimodal_embeddings_tpu.io.json_io import median_width_dict, save_json
+
+        checked = 0
+        for path in golden_paths(golden_combined_dir):
+            image_path, median, page_w, page_h = median_width_for_json(path)
+            if median <= 0:
+                continue
+            median_json = tmp_path / (os.path.basename(path) + ".median.json")
+            save_json(
+                median_width_dict(image_path, median, page_w, page_h),
+                str(median_json),
+            )
+            result = columns_for_page(path, str(median_json))
+            if result is None:
+                continue  # legitimately no confident text columns
+            assert 1 <= result["num_columns"] <= 30, path
+            for center in result["column_centers"]:
+                assert 0 <= center <= page_w
+            for width in result["column_widths"]:
+                assert 0.4 * median <= width <= 2.6 * median
+            checked += 1
+        assert checked >= 12  # most pages must produce plausible columns
