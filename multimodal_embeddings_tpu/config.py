@@ -80,6 +80,8 @@ class DetectorConfig:
     # Architecture scale ("m" matches doclayout_yolo_docstructbench)
     variant: str = "m"
     weights_path: Optional[str] = None  # safetensors / torch .pt to load
+    # exact space-to-depth stem evaluation (same params, higher MXU util)
+    s2d_stem: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

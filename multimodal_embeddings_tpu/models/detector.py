@@ -85,7 +85,10 @@ class LayoutDetector:
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
         self.model = DocLayoutYOLO(
-            num_classes=num_classes, variant=config.variant, dtype=dtype
+            num_classes=num_classes,
+            variant=config.variant,
+            s2d_stem=config.s2d_stem,
+            dtype=dtype,
         )
         example = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
         self.variables = deterministic_init(self.model, example, seed=seed)

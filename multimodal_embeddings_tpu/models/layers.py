@@ -24,7 +24,12 @@ def autopad(k: int, d: int = 1) -> int:
 
 
 class ConvBnAct(nn.Module):
-    """Conv2d (no bias) + BatchNorm + SiLU — the universal YOLO cell."""
+    """Conv2d (no bias) + BatchNorm + SiLU — the universal YOLO cell.
+
+    ``s2d=True`` (valid only for k=3, s=2, p=1, groups=1) evaluates the conv
+    through the exact space-to-depth rewrite (``_S2DConv``) — same parameter
+    tree, 4x arithmetic intensity for the bandwidth-bound stem.
+    """
 
     out_channels: int
     kernel_size: int = 1
@@ -32,22 +37,29 @@ class ConvBnAct(nn.Module):
     groups: int = 1
     dilation: int = 1
     act: bool = True
+    s2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = autopad(self.kernel_size, self.dilation)
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d:
+            assert (
+                self.kernel_size == 3 and self.strides == 2 and self.groups == 1
+            ), "s2d rewrite only applies to k=3 s=2 convs"
+            x = _S2DConv(self.out_channels, dtype=self.dtype, name="conv")(x)
+        else:
+            pad = autopad(self.kernel_size, self.dilation)
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,
@@ -278,3 +290,52 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+class _S2DConv(nn.Module):
+    """Space-to-depth evaluation of a k=3, s=2, p=1 conv — mathematically
+    exact, same parameter ('kernel', shape (3,3,Cin,Cout)) as nn.Conv so
+    checkpoints are interchangeable.
+
+    The plain stem convolves 3 channels over full-resolution page views —
+    the lowest-arithmetic-intensity op in the detector. Rearranging the
+    padded input into 2×2 parity blocks (4·Cin channels at half resolution)
+    and convolving with the parity-reindexed kernel
+    (``W2[ΔY,ΔX,(py,px,c)] = W[2ΔY+py, 2ΔX+px, c]``, zero outside the
+    original 3×3 taps) computes identical outputs with 4× the arithmetic
+    intensity.
+    """
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c_in = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, c_in, self.out_channels),
+        )
+        # pad the 3x3 kernel to 4x4 (zero taps), reindex by parity
+        kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w2 = (
+            kp.reshape(2, 2, 2, 2, c_in, self.out_channels)  # (ΔY,py,ΔX,px,C,O)
+            .transpose(0, 2, 1, 3, 4, 5)  # (ΔY,ΔX,py,px,C,O)
+            .reshape(2, 2, 4 * c_in, self.out_channels)
+        )
+        # pad input (p=1) then space-to-depth with matching (py,px,c) order
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h2, w2_ = (h + 2) // 2, (w + 2) // 2
+        xs = (
+            xp.reshape(b, h2, 2, w2_, 2, c_in)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h2, w2_, 4 * c_in)
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype),
+            w2.astype(self.dtype),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )

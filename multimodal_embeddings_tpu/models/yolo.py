@@ -68,12 +68,18 @@ def _depth(n: int, scale: YoloScale) -> int:
 
 class Backbone(nn.Module):
     scale: YoloScale
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         s, dt = self.scale, self.dtype
-        x = ConvBnAct(_ch(64, s), 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
+        # s2d_stem: exact space-to-depth evaluation of the stem conv (same
+        # parameters) — raises MXU utilization of the bandwidth-bound
+        # full-resolution first layer
+        x = ConvBnAct(
+            _ch(64, s), 3, 2, s2d=self.s2d_stem, dtype=dt, name="stem"
+        )(x, train)  # P1/2
         x = ConvBnAct(_ch(128, s), 3, 2, dtype=dt, name="down2")(x, train)  # P2/4
         x = C2f(_ch(128, s), _depth(3, s), shortcut=True, dtype=dt, name="c2f_2")(
             x, train
@@ -168,6 +174,7 @@ class DocLayoutYOLO(nn.Module):
 
     num_classes: int = 10
     variant: str = "m"
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -175,7 +182,9 @@ class DocLayoutYOLO(nn.Module):
         """images: (B, H, W, 3) float32 in [0, 1]."""
         scale = SCALES[self.variant]
         x = images.astype(self.dtype)
-        p3, p4, p5 = Backbone(scale, dtype=self.dtype, name="backbone")(x, train)
+        p3, p4, p5 = Backbone(
+            scale, s2d_stem=self.s2d_stem, dtype=self.dtype, name="backbone"
+        )(x, train)
         n3, n4, n5 = PANNeck(scale, dtype=self.dtype, name="neck")(p3, p4, p5, train)
         return DetectHead(self.num_classes, dtype=self.dtype, name="head")(
             (n3, n4, n5), train

@@ -207,3 +207,45 @@ class TestSafetensors:
             np.asarray(model.apply(variables, x, train=False)[0][0]),
             np.asarray(model.apply(loaded, x, train=False)[0][0]),
         )
+
+
+class TestS2DStem:
+    def test_exact_and_tree_compatible(self):
+        """Space-to-depth stem produces identical outputs from identical
+        parameters (checkpoint-compatible exact rewrite)."""
+        import jax.tree_util as jtu
+
+        from multimodal_embeddings_tpu.models.layers import ConvBnAct
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+        plain = ConvBnAct(out_channels=16, kernel_size=3, strides=2)
+        s2d = ConvBnAct(out_channels=16, kernel_size=3, strides=2, s2d=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        tree_a = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(variables)
+        }
+        tree_b = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(s2d.init(jax.random.PRNGKey(0), x))
+        }
+        assert tree_a == tree_b
+        a = plain.apply(variables, x, train=False)
+        b = s2d.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_full_model_outputs_match(self):
+        """Whole detector with s2d stem matches the plain stem from the same
+        checkpoint."""
+        model_a = DocLayoutYOLO(num_classes=10, variant="n", s2d_stem=False)
+        model_b = DocLayoutYOLO(num_classes=10, variant="n", s2d_stem=True)
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+        )
+        variables = deterministic_init(model_a, x, seed=0)
+        out_a = model_a.apply(variables, x, train=False)
+        out_b = model_b.apply(variables, x, train=False)
+        for (ra, ca), (rb, cb) in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-4)
