@@ -9,6 +9,9 @@ onto the TPU:
   ``Σ (1−dist)·area_i·area_j`` — ``weighted_region_clustering.py:97-254``).
   Here the same quantity is computed for ALL page pairs in one jitted
   einsum + top-k pass over padded per-page region tensors.
+* Pair direction matches the reference exactly: each unordered pair is
+  computed once, queries drawn from page i only (i < j), and the value
+  mirrored (``:163-235``) — NOT averaged over both directions.
 * Matrix normalization matches the reference: divide by the max
   off-diagonal entry, force the diagonal to 1 (``:246-252``).
 * Clustering = average-linkage agglomerative over distance 1−similarity
@@ -37,16 +40,27 @@ logger = get_logger("clustering")
 
 @dataclasses.dataclass
 class PageRegions:
-    """Per-page region embeddings + areas (fraction-of-page percentages)."""
+    """Per-page region embeddings + areas (fractions of page, i.e. the
+    stored ``area_percentage`` divided by 100 as in
+    ``weighted_region_clustering.py:139``)."""
 
     name: str
     embeddings: np.ndarray  # (R, D) unit-normalized
-    areas: np.ndarray  # (R,) area percentages
+    areas: np.ndarray  # (R,) area fractions
 
 
-def group_regions_by_page(collection) -> List[PageRegions]:
+def group_regions_by_page(
+    collection, region_types: Optional[Sequence[str]] = "default"
+) -> List[PageRegions]:
     """Pull all region entries from the store and group by parent image
-    (``weighted_region_clustering.py:121-139``)."""
+    (``weighted_region_clustering.py:121-139``): keep entries with a
+    parent, positive area, and a region type in ``REGION_TYPES_TO_PROCESS``
+    (pass ``region_types=None`` to disable the type filter); areas are
+    converted from percentages to fractions."""
+    if region_types == "default":
+        from multimodal_embeddings_tpu.config import REGION_TYPES_TO_PROCESS
+
+        region_types = REGION_TYPES_TO_PROCESS
     got = collection.get(
         where={"is_region": {"$eq": True}}, include=("embeddings", "metadatas")
     )
@@ -55,7 +69,11 @@ def group_regions_by_page(collection) -> List[PageRegions]:
         parent = meta.get("parent_image_name")
         if parent is None or not emb:
             continue
-        area = float(meta.get("area_percentage", 1.0))
+        area = float(meta.get("area_percentage", 0.0)) / 100.0
+        if area <= 0:
+            continue
+        if region_types is not None and meta.get("region_type") not in region_types:
+            continue
         by_page.setdefault(parent, []).append((np.asarray(emb, np.float32), area))
     pages = []
     for name in sorted(by_page):
@@ -152,8 +170,12 @@ def compute_similarity_matrix(
         ),
         np.float64,
     )
-    # symmetrize (the reference fills the upper triangle and mirrors)
-    sim = (sim + sim.T) / 2.0
+    # The reference computes each unordered pair ONCE with queries drawn
+    # from page i (i < j) and mirrors the value
+    # (weighted_region_clustering.py:163-235) — keep only the i→j
+    # direction of the upper triangle, then mirror.
+    sim = np.triu(sim, 1)
+    sim = sim + sim.T
     if prefix_skip:
         for i in range(n):
             for j in range(n):

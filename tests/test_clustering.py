@@ -29,29 +29,31 @@ def make_pages(seed=0, n_pages=6, d=16, max_regions=14):
 
 
 def oracle_similarity(pages, query_limit=10, top_k=10, threshold=0.1, area=True):
-    """Direct transcription of the reference's accumulation semantics
-    (weighted_region_clustering.py:199-233): for each of the first
-    query_limit regions of i, take the top_k most-similar regions of j,
-    accept sim >= threshold, accumulate sim*area_i*area_j."""
+    """Faithful transcription of the reference's accumulation semantics
+    (weighted_region_clustering.py:163-254): each unordered pair computed
+    ONCE — for each of the first query_limit regions of i (i < j), Chroma-
+    query the top min(top_k, len(regions_j)) most-similar regions of j,
+    accept cosine distance <= 1-threshold, accumulate sim*area_i*area_j,
+    then mirror. Matrix normalized by max off-diagonal, diagonal = 1."""
     n = len(pages)
     sim = np.zeros((n, n))
     for i in range(n):
-        for j in range(n):
+        for j in range(i + 1, n):
             total = 0.0
             qs = pages[i].embeddings[:query_limit]
             qa = pages[i].areas[:query_limit]
             for a in range(len(qs)):
-                sims = pages[j].embeddings @ qs[a]
-                order = np.argsort(-sims)[:top_k]
+                dists = 1.0 - pages[j].embeddings @ qs[a]
+                order = np.argsort(dists)[: min(top_k, len(dists))]
                 for b in order:
-                    s = sims[b]
-                    if s >= threshold:
-                        contrib = s
+                    dist = dists[b]
+                    if dist <= 1.0 - threshold and pages[j].areas[b] > 0:
+                        contrib = 1.0 - dist
                         if area:
-                            contrib = s * qa[a] * pages[j].areas[b]
+                            contrib = contrib * qa[a] * pages[j].areas[b]
                         total += contrib
             sim[i, j] = total
-    sim = (sim + sim.T) / 2
+            sim[j, i] = total
     np.fill_diagonal(sim, 0.0)
     off_max = sim.max()
     if off_max > 0:
@@ -67,6 +69,27 @@ class TestSimilarityMatrix:
         got = compute_similarity_matrix(pages, weight_by_area=area)
         want = oracle_similarity(pages, area=area)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_matches_oracle_asymmetric_region_counts(self):
+        # Pages with >10 regions on one side and few on the other exercise
+        # the one-direction (i→j only) semantics: i→j and j→i totals differ
+        # whenever region counts straddle the query limit.
+        rng = np.random.default_rng(11)
+        counts = [18, 3, 12, 2, 25, 10]
+        pages = []
+        for i, r in enumerate(counts):
+            emb = rng.normal(size=(r, 16)).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            areas = rng.uniform(0.005, 0.2, r).astype(np.float32)
+            pages.append(PageRegions(f"page{i}", emb, areas))
+        got = compute_similarity_matrix(pages)
+        want = oracle_similarity(pages)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # sanity: the direction actually matters for this fixture — the
+        # j→i direction gives different totals, so averaging both (the old
+        # bug) would NOT match the oracle
+        reversed_want = oracle_similarity(list(reversed(pages)))[::-1, ::-1]
+        assert not np.allclose(want, reversed_want, atol=1e-5)
 
     def test_prefix_skip(self):
         pages = make_pages(n_pages=4)
@@ -91,6 +114,7 @@ class TestSimilarityMatrix:
                         "is_region": True,
                         "parent_image_name": f"img{i % 2}",
                         "area_percentage": 5.0,
+                        "region_type": "plain_text",
                     }
                 ],
             )
@@ -99,9 +123,31 @@ class TestSimilarityMatrix:
             embeddings=[np.ones(8, np.float32) / np.sqrt(8)],
             metadatas=[{"is_region": False}],
         )
+        # reference filters to REGION_TYPES_TO_PROCESS and area > 0
+        # (weighted_region_clustering.py:128-139)
+        col.upsert(
+            ids=["region_bad_type", "region_zero_area"],
+            embeddings=[np.ones(8, np.float32) / np.sqrt(8)] * 2,
+            metadatas=[
+                {
+                    "is_region": True,
+                    "parent_image_name": "img0",
+                    "area_percentage": 5.0,
+                    "region_type": "abandon",
+                },
+                {
+                    "is_region": True,
+                    "parent_image_name": "img0",
+                    "area_percentage": 0.0,
+                    "region_type": "plain_text",
+                },
+            ],
+        )
         pages = group_regions_by_page(col)
         assert [p.name for p in pages] == ["img0", "img1"]
         assert pages[0].embeddings.shape == (3, 8)
+        # areas stored as percentages come out as fractions
+        np.testing.assert_allclose(pages[0].areas, 0.05)
 
 
 class TestLinkage:
