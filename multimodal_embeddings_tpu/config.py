@@ -82,6 +82,9 @@ class DetectorConfig:
     weights_path: Optional[str] = None  # safetensors / torch .pt to load
     # exact space-to-depth stem evaluation (same params, higher MXU util)
     s2d_stem: bool = False
+    # DocLayout-YOLO GL-CRM backbone blocks (the DocStructBench checkpoint
+    # is this architecture, not base v10 — arXiv 2410.12628)
+    glcrm: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,6 +88,7 @@ class LayoutDetector:
             num_classes=num_classes,
             variant=config.variant,
             s2d_stem=config.s2d_stem,
+            glcrm=config.glcrm,
             dtype=dtype,
         )
         example = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)

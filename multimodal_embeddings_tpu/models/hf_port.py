@@ -245,14 +245,17 @@ def _conv_bn(sub: str, rest: str):
 
 
 def doclayout_key_map(torch_key: str):
-    """Map ultralytics ``model.N.<...>`` keys of a YOLOv10-family
-    checkpoint onto our DocLayoutYOLO tree.
+    """Map ultralytics ``model.N.<...>`` keys of a YOLOv10-family /
+    DocLayout-YOLO checkpoint onto our DocLayoutYOLO tree.
 
-    Structurally validated against our own parameter tree (no DocStructBench
-    checkpoint ships in this environment); DocLayout-YOLO's added modules
-    (GL-CRM) will surface as unmapped keys and must be addressed when a real
-    checkpoint is portable. ``num_batches_tracked`` and EMA bookkeeping are
-    skipped.
+    Covers base v10 modules plus DocLayout-YOLO's GL-CRM backbone blocks
+    (``layers.G2L_CRM``: same cv1/cv2/m.N scaffold; inner blocks carry
+    cv1 (dilated) / cv2 (local) / gate (1x1 conv with bias)). Structurally
+    validated by a full synthetic inverse-state-dict round trip in
+    ``tests/test_hf_port.py`` — no DocStructBench checkpoint ships in this
+    environment, so the upstream leaf naming for the CRM gate is
+    provisional; a real port reports any unmapped keys loudly.
+    ``num_batches_tracked`` and EMA bookkeeping are skipped.
     """
     k = torch_key
     if k.startswith("model.model."):
@@ -295,6 +298,11 @@ def doclayout_key_map(torch_key: str):
             return _with_collection(
                 _conv_bn(f"{prefix}/m{inner}/{m3.group(1)}", m3.group(2))
             )
+        # GL-CRM controllable gate: bare 1x1 Conv2d (with bias, no BN)
+        m3 = re.match(r"gate\.(weight|bias)", tail)
+        if m3:
+            leaf = "kernel" if m3.group(1) == "weight" else "bias"
+            return f"params/{prefix}/m{inner}/gate/{leaf}"
         return None
     # PSA: attn.qkv/attn.proj/attn.pe, ffn.0/ffn.1
     m2 = re.match(r"attn\.(qkv|proj|pe)\.(.+)", rest)

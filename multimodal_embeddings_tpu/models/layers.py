@@ -170,6 +170,75 @@ class CIB(nn.Module):
         return y
 
 
+class CRMBottleneck(nn.Module):
+    """Controllable-receptive bottleneck — the inner block of DocLayout-
+    YOLO's global-to-local controllable receptive module (GL-CRM).
+
+    Re-derived from the paper (arXiv 2410.12628 §"global-to-local adaptive
+    perception"); the DocStructBench checkpoint the reference loads
+    (``1_doclayout_bboxes.py:120-130``) is base YOLOv10-m with these blocks
+    in the backbone CSP stages. Each block perceives at two granularities:
+    a dilated 3x3 conv widens the receptive field ("global" context for
+    page-scale elements such as tables), a standard 3x3 refines locally,
+    and a per-pixel controllable gate (1x1 conv + sigmoid over the block
+    input) scales the fused result before the residual add. The exact
+    upstream tensor layout is not verifiable in this environment (zero
+    egress, no checkpoint); ``weights.load_torch_state_dict`` reports
+    unmapped keys, which will pinpoint any divergence when a real
+    checkpoint is ported.
+    """
+
+    out_channels: int
+    shortcut: bool = True
+    dilation: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.out_channels
+        y = ConvBnAct(
+            c, 3, dilation=self.dilation, dtype=self.dtype, name="cv1"
+        )(x, train)  # global (dilated) perception
+        y = ConvBnAct(c, 3, dtype=self.dtype, name="cv2")(y, train)  # local
+        gate = nn.Conv(c, (1, 1), dtype=self.dtype, name="gate")(x)
+        y = y * nn.sigmoid(gate)
+        if self.shortcut and x.shape[-1] == c:
+            return x + y
+        return y
+
+
+class G2L_CRM(nn.Module):
+    """Global-to-local controllable receptive module: the C2f CSP scaffold
+    with ``CRMBottleneck`` inner blocks (DocLayout-YOLO's backbone block,
+    arXiv 2410.12628). Module/param naming mirrors C2f (cv1/cv2/m{i}) so
+    the ultralytics index map stays unchanged."""
+
+    out_channels: int
+    n: int = 1
+    dilation: int = 2
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.out_channels * self.expansion)
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(
+                CRMBottleneck(
+                    c,
+                    shortcut=self.shortcut,
+                    dilation=self.dilation,
+                    dtype=self.dtype,
+                    name=f"m{i}",
+                )(parts[-1], train)
+            )
+        y = jnp.concatenate(parts, axis=-1)
+        return ConvBnAct(self.out_channels, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
 class SCDown(nn.Module):
     """Spatial-channel decoupled downsampling: 1x1 channel map, then
     stride-2 depthwise (no activation on the spatial pass)."""

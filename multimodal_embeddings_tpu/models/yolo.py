@@ -28,6 +28,7 @@ from flax import linen as nn
 from multimodal_embeddings_tpu.models.layers import (
     C2f,
     ConvBnAct,
+    G2L_CRM,
     PSA,
     SCDown,
     SPPF,
@@ -67,13 +68,27 @@ def _depth(n: int, scale: YoloScale) -> int:
 
 
 class Backbone(nn.Module):
+    """CSP backbone. ``glcrm=True`` swaps the P2/P3/P4 CSP stages for
+    DocLayout-YOLO's G2L_CRM blocks (the DocStructBench architecture;
+    dilation grows with stage depth) — same cv1/cv2/m{i} naming so the
+    ultralytics checkpoint index map is shared with base v10."""
+
     scale: YoloScale
     s2d_stem: bool = False
+    glcrm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         s, dt = self.scale, self.dtype
+
+        def csp(ch, n, dilation, name):
+            if self.glcrm:
+                return G2L_CRM(
+                    ch, n, dilation=dilation, shortcut=True, dtype=dt, name=name
+                )
+            return C2f(ch, n, shortcut=True, dtype=dt, name=name)
+
         # s2d_stem: exact space-to-depth evaluation of the stem conv (same
         # parameters) — raises MXU utilization of the bandwidth-bound
         # full-resolution first layer
@@ -81,17 +96,11 @@ class Backbone(nn.Module):
             _ch(64, s), 3, 2, s2d=self.s2d_stem, dtype=dt, name="stem"
         )(x, train)  # P1/2
         x = ConvBnAct(_ch(128, s), 3, 2, dtype=dt, name="down2")(x, train)  # P2/4
-        x = C2f(_ch(128, s), _depth(3, s), shortcut=True, dtype=dt, name="c2f_2")(
-            x, train
-        )
+        x = csp(_ch(128, s), _depth(3, s), 2, "c2f_2")(x, train)
         x = ConvBnAct(_ch(256, s), 3, 2, dtype=dt, name="down3")(x, train)  # P3/8
-        p3 = C2f(_ch(256, s), _depth(6, s), shortcut=True, dtype=dt, name="c2f_3")(
-            x, train
-        )
+        p3 = csp(_ch(256, s), _depth(6, s), 2, "c2f_3")(x, train)
         x = SCDown(_ch(512, s), 3, 2, dtype=dt, name="down4")(p3, train)  # P4/16
-        p4 = C2f(_ch(512, s), _depth(6, s), shortcut=True, dtype=dt, name="c2f_4")(
-            x, train
-        )
+        p4 = csp(_ch(512, s), _depth(6, s), 4, "c2f_4")(x, train)
         x = SCDown(_ch(1024, s), 3, 2, dtype=dt, name="down5")(p4, train)  # P5/32
         x = C2f(
             _ch(1024, s),
@@ -175,6 +184,7 @@ class DocLayoutYOLO(nn.Module):
     num_classes: int = 10
     variant: str = "m"
     s2d_stem: bool = False
+    glcrm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,7 +193,11 @@ class DocLayoutYOLO(nn.Module):
         scale = SCALES[self.variant]
         x = images.astype(self.dtype)
         p3, p4, p5 = Backbone(
-            scale, s2d_stem=self.s2d_stem, dtype=self.dtype, name="backbone"
+            scale,
+            s2d_stem=self.s2d_stem,
+            glcrm=self.glcrm,
+            dtype=self.dtype,
+            name="backbone",
         )(x, train)
         n3, n4, n5 = PANNeck(scale, dtype=self.dtype, name="neck")(p3, p4, p5, train)
         return DetectHead(self.num_classes, dtype=self.dtype, name="head")(

@@ -258,3 +258,160 @@ class TestDocLayoutMap:
         ]
         for key in skipped:
             assert doclayout_key_map(key) is None, key
+
+
+# ---------------------------------------------------------------------------
+# Full synthetic inverse-state-dict round trip (DocStructBench tree)
+# ---------------------------------------------------------------------------
+
+_INDEX_OF_MODULE = {
+    "backbone/stem": 0,
+    "backbone/down2": 1,
+    "backbone/c2f_2": 2,
+    "backbone/down3": 3,
+    "backbone/c2f_3": 4,
+    "backbone/down4": 5,
+    "backbone/c2f_4": 6,
+    "backbone/down5": 7,
+    "backbone/c2fcib_5": 8,
+    "backbone/sppf": 9,
+    "backbone/psa": 10,
+    "neck/td_c2f_4": 13,
+    "neck/td_c2f_3": 16,
+    "neck/bu_down_3": 17,
+    "neck/bu_c2fcib_4": 19,
+    "neck/bu_down_4": 20,
+    "neck/bu_c2fcib_5": 22,
+}
+
+_CIB_SEQ = {"dw1": 0, "pw1": 1, "dw2": 2, "pw2": 3, "dw3": 4}
+_HEAD_CLS_SEQ = {"dw1": (0, 0), "pw1": (0, 1), "dw2": (1, 0), "pw2": (1, 1)}
+
+
+def _conv_bn_torch_leaf(collection, leaf):
+    """Inverse of hf_port._conv_bn: our ConvBnAct leaf -> ultralytics leaf."""
+    if collection == "params":
+        return {"conv/kernel": "conv.weight", "bn/scale": "bn.weight",
+                "bn/bias": "bn.bias"}[leaf]
+    return {"bn/mean": "bn.running_mean", "bn/var": "bn.running_var"}[leaf]
+
+
+def inverse_doclayout_key(flat_key):
+    """Our flat flax key -> the ultralytics torch key that must map to it."""
+    collection, rest = flat_key.split("/", 1)
+    parts = rest.split("/")
+    if parts[0] == "head":
+        name = parts[1]
+        leaf = "/".join(parts[2:])
+        import re as _re
+
+        m = _re.match(r"(reg|cls)(\d)_(.+)", name)
+        branch, level, sub = m.group(1), m.group(2), m.group(3)
+        if branch == "reg":
+            if sub == "out":
+                return f"model.23.one2one_cv2.{level}.2." + (
+                    "weight" if leaf == "kernel" else "bias"
+                )
+            seq = int(sub[-1]) - 1  # cv1 -> 0, cv2 -> 1
+            return (
+                f"model.23.one2one_cv2.{level}.{seq}."
+                + _conv_bn_torch_leaf(collection, leaf)
+            )
+        if sub == "out":
+            return f"model.23.one2one_cv3.{level}.2." + (
+                "weight" if leaf == "kernel" else "bias"
+            )
+        outer, inner = _HEAD_CLS_SEQ[sub]
+        return (
+            f"model.23.one2one_cv3.{level}.{outer}.{inner}."
+            + _conv_bn_torch_leaf(collection, leaf)
+        )
+
+    module = "/".join(parts[:2])
+    idx = _INDEX_OF_MODULE[module]
+    tail = parts[2:]
+    if tail[0] in ("conv", "bn"):  # bare Conv (stem/down2/down3/bu_down_3)
+        return f"model.{idx}." + _conv_bn_torch_leaf(collection, "/".join(tail))
+    if tail[0] in ("cv1", "cv2", "ffn1", "ffn2"):
+        torch_mod = {"ffn1": "ffn.0", "ffn2": "ffn.1"}.get(tail[0], tail[0])
+        return f"model.{idx}.{torch_mod}." + _conv_bn_torch_leaf(
+            collection, "/".join(tail[1:])
+        )
+    if tail[0] == "attn":  # PSA attention
+        return f"model.{idx}.attn.{tail[1]}." + _conv_bn_torch_leaf(
+            collection, "/".join(tail[2:])
+        )
+    if tail[0].startswith("m"):  # C2f / G2L_CRM / C2fCIB inner block
+        inner = int(tail[0][1:])
+        if tail[1] == "gate":  # GL-CRM controllable gate (bare conv + bias)
+            return f"model.{idx}.m.{inner}.gate." + (
+                "weight" if tail[2] == "kernel" else "bias"
+            )
+        if tail[1] in _CIB_SEQ:  # CIB sequential cv1.<0..4>
+            return (
+                f"model.{idx}.m.{inner}.cv1.{_CIB_SEQ[tail[1]]}."
+                + _conv_bn_torch_leaf(collection, "/".join(tail[2:]))
+            )
+        return f"model.{idx}.m.{inner}.{tail[1]}." + _conv_bn_torch_leaf(
+            collection, "/".join(tail[2:])
+        )
+    raise AssertionError(f"no inverse for {flat_key}")
+
+
+class TestDocLayoutFullRoundTrip:
+    @pytest.mark.parametrize("glcrm", [False, True])
+    def test_inverse_state_dict_round_trip(self, glcrm, tmp_path):
+        """Build a torch state dict covering OUR ENTIRE parameter tree via
+        the inverse key map, port it back through doclayout_key_map, and
+        require every tensor to land bit-identically: zero unmapped keys in
+        either direction for the full DocStructBench (GL-CRM) tree."""
+        torch = pytest.importorskip("torch")
+        from multimodal_embeddings_tpu.models.hf_port import doclayout_key_map
+        from multimodal_embeddings_tpu.models.weights import (
+            deterministic_init,
+            load_torch_state_dict,
+        )
+        from multimodal_embeddings_tpu.models.yolo import DocLayoutYOLO
+
+        model = DocLayoutYOLO(num_classes=10, variant="n", glcrm=glcrm)
+        variables = deterministic_init(model, jnp.zeros((1, 64, 64, 3)), seed=3)
+        flat = flatten_params(variables)
+
+        state = {}
+        for fkey, arr in flat.items():
+            tkey = inverse_doclayout_key(fkey)
+            assert doclayout_key_map(tkey) == fkey, (tkey, fkey)
+            if arr.ndim == 4:  # HWIO -> OIHW
+                tarr = np.transpose(arr, (3, 2, 0, 1))
+            else:
+                tarr = arr
+            state[tkey] = torch.from_numpy(np.ascontiguousarray(tarr))
+        # distractors the map must skip
+        state["model.0.bn.num_batches_tracked"] = torch.zeros(1)
+        state["model.23.cv2.0.0.conv.weight"] = torch.zeros(1, 1, 1, 1)
+
+        path = str(tmp_path / "synthetic_docstructbench.pt")
+        torch.save(state, path)
+
+        zeros = jax.tree.map(np.zeros_like, variables)
+        restored = load_torch_state_dict(path, zeros, doclayout_key_map)
+        restored_flat = flatten_params(restored)
+        assert set(restored_flat) == set(flat)
+        for fkey in flat:
+            np.testing.assert_array_equal(
+                restored_flat[fkey], flat[fkey], err_msg=fkey
+            )
+
+    def test_glcrm_has_gate_params(self):
+        from multimodal_embeddings_tpu.models.weights import deterministic_init
+        from multimodal_embeddings_tpu.models.yolo import DocLayoutYOLO
+
+        model = DocLayoutYOLO(num_classes=10, variant="n", glcrm=True)
+        variables = deterministic_init(model, jnp.zeros((1, 64, 64, 3)), seed=0)
+        flat = flatten_params(variables)
+        gates = [k for k in flat if "/gate/" in k]
+        assert any("c2f_2/m0/gate/kernel" in k for k in gates)
+        assert any("c2f_4/m0/gate/kernel" in k for k in gates)
+        # neck and P5 stay base v10
+        assert not any(k.startswith("params/neck") and "/gate/" in k for k in flat)
+        assert not any("c2fcib_5" in k and "/gate/" in k for k in flat)

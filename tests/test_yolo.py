@@ -249,3 +249,31 @@ class TestS2DStem:
         for (ra, ca), (rb, cb) in zip(out_a, out_b):
             np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=2e-4)
             np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-4)
+
+
+class TestGLCRM:
+    """DocLayout-YOLO GL-CRM backbone (arXiv 2410.12628): the DocStructBench
+    architecture the reference loads (1_doclayout_bboxes.py:120-130)."""
+
+    def test_forward_shapes(self):
+        model = DocLayoutYOLO(num_classes=10, variant="n", glcrm=True)
+        x = jnp.zeros((1, SIZE, SIZE, 3))
+        variables = deterministic_init(model, x, seed=0)
+        outputs = model.apply(variables, x, train=False)
+        assert len(outputs) == 3
+        for (reg, cls), stride in zip(outputs, STRIDES):
+            assert reg.shape == (1, SIZE // stride, SIZE // stride, 4 * REG_MAX)
+            assert cls.shape == (1, SIZE // stride, SIZE // stride, 10)
+
+    def test_differs_from_base_and_is_deterministic(self):
+        x = jnp.ones((1, SIZE, SIZE, 3)) * 0.5
+        base = DocLayoutYOLO(num_classes=10, variant="n", glcrm=False)
+        crm = DocLayoutYOLO(num_classes=10, variant="n", glcrm=True)
+        vb = deterministic_init(base, x, seed=0)
+        vc = deterministic_init(crm, x, seed=0)
+        yb = base.apply(vb, x, train=False)[0][1]
+        yc = crm.apply(vc, x, train=False)[0][1]
+        assert yb.shape == yc.shape
+        assert not np.allclose(np.asarray(yb), np.asarray(yc))
+        yc2 = crm.apply(vc, x, train=False)[0][1]
+        np.testing.assert_array_equal(np.asarray(yc), np.asarray(yc2))
