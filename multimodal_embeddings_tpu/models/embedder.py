@@ -71,13 +71,19 @@ class MultimodalEmbedder:
             self.model_config = model_config or MllamaConfig.mme5_11b()
             self.model = MmE5Embedder(self.model_config, dtype=dtype)
             self.image_size = self.model_config.vision.image_size
+            self.max_tiles = self.model_config.vision.max_tiles
             self.text_len = min(TEXT_MAX_LEN, self.model_config.text.max_len)
             tokens = np.zeros((1, self.text_len), np.int32)
             mask = np.ones((1, self.text_len), np.int32)
             example = (
                 jnp.asarray(tokens),
                 jnp.asarray(mask),
-                jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32),
+                jnp.zeros(
+                    (1, self.max_tiles, self.image_size, self.image_size, 3),
+                    jnp.float32,
+                ),
+                jnp.ones((1,), jnp.int32),
+                jnp.ones((1, self.max_tiles), jnp.int32),
             )
             self._init_args = example
         else:
@@ -120,11 +126,13 @@ class MultimodalEmbedder:
             model = self.model
 
             @jax.jit
-            def image_fn(variables, images):
+            def image_fn(variables, images, aspect_ratio_ids, tile_mask):
                 b = images.shape[0]
                 ids = jnp.broadcast_to(prompt_ids, (b, prompt_ids.shape[1]))
                 mask = jnp.broadcast_to(prompt_mask, (b, prompt_mask.shape[1]))
-                return model.apply(variables, ids, mask, images)
+                return model.apply(
+                    variables, ids, mask, images, aspect_ratio_ids, tile_mask
+                )
 
         else:
             model = self.model
@@ -153,17 +161,39 @@ class MultimodalEmbedder:
 
     # -- preprocessing ------------------------------------------------------
 
+    def _decode(self, image: Union[str, np.ndarray]):
+        if isinstance(image, str):
+            img = Image.open(image).convert("RGB")
+        else:
+            img = Image.fromarray(np.asarray(image).astype(np.uint8))
+        return resize_image_if_needed(img, self.config.max_image_dim)
+
     def _load_and_preprocess(self, image: Union[str, np.ndarray]) -> Optional[np.ndarray]:
         """Decode, cap at max dim (LANCZOS, ``embedder.py:110-114``), resize
         to the encoder input, scale to [0, 1]."""
         try:
-            if isinstance(image, str):
-                img = Image.open(image).convert("RGB")
-            else:
-                img = Image.fromarray(np.asarray(image).astype(np.uint8))
-            img = resize_image_if_needed(img, self.config.max_image_dim)
+            img = self._decode(image)
             img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
             return np.asarray(img, np.float32) / 255.0
+        except Exception as exc:  # noqa: BLE001 — per-image failure → None slot
+            logger.error("failed to preprocess %s: %s", image, exc)
+            return None
+
+    def _load_and_tile(self, image: Union[str, np.ndarray]):
+        """mme5 family: decode and run the Mllama tiling processor (pages
+        larger than one 560px tile split onto the optimal tiled canvas,
+        ``embedder.py:110-121`` + the HF Mllama image processor)."""
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            preprocess_image,
+        )
+
+        try:
+            img = self._decode(image)
+            return preprocess_image(
+                np.asarray(img),
+                max_tiles=self.max_tiles,
+                tile_size=self.image_size,
+            )
         except Exception as exc:  # noqa: BLE001 — per-image failure → None slot
             logger.error("failed to preprocess %s: %s", image, exc)
             return None
@@ -192,6 +222,36 @@ class MultimodalEmbedder:
             batch_size = ((batch_size + data_size - 1) // data_size) * data_size
 
         results: List[Optional[List[float]]] = [None] * len(images)
+        if self.config.family == "mme5":
+            pending_t: List[tuple[int, object]] = []
+            for i, image in enumerate(images):
+                tiled = self._load_and_tile(image)
+                if tiled is not None:
+                    pending_t.append((i, tiled))
+            for start in range(0, len(pending_t), batch_size):
+                chunk = pending_t[start : start + batch_size]
+                batch = np.zeros(
+                    (batch_size, self.max_tiles, self.image_size, self.image_size, 3),
+                    np.float32,
+                )
+                ar_ids = np.ones((batch_size,), np.int32)
+                tmask = np.zeros((batch_size, self.max_tiles), np.int32)
+                for j, (_, tiled) in enumerate(chunk):
+                    batch[j] = tiled.tiles
+                    ar_ids[j] = tiled.aspect_ratio_id
+                    tmask[j] = tiled.tile_mask
+                emb = np.asarray(
+                    self._image_fn(
+                        self.variables,
+                        self._shard_batch(jnp.asarray(batch)),
+                        jnp.asarray(ar_ids),
+                        jnp.asarray(tmask),
+                    )
+                )
+                for j, (idx, _) in enumerate(chunk):
+                    results[idx] = emb[j].astype(np.float64).tolist()
+            return results
+
         pending: List[tuple[int, np.ndarray]] = []
         for i, image in enumerate(images):
             arr = self._load_and_preprocess(image)

@@ -9,11 +9,11 @@ Covered:
 
 * ``mme5_key_map`` — ``intfloat/mmE5-mllama-11b-instruct``
   (MllamaForConditionalGeneration). The Llama text stack maps 1:1; the
-  vision stack maps patch/class/pos embeddings, local+global layers, and
-  the multi-modal projector. Tile-specific embeddings
-  (gated_positional_embedding per aspect ratio) have no single-tile
-  counterpart here and are skipped — porting fidelity for multi-tile
-  inputs requires the tiled vision path (future round).
+  vision stack maps patch/class embeddings, the aspect-ratio-gated tile
+  embeddings (pre/post tile positional + gated positional incl.
+  ``tile_embedding``), local+global layers, and the multi-modal
+  projector. Tile tables are stored in the torch 2-D layout so they port
+  with a direct shape match.
 * ``qwen25_vl_key_map`` — ``Qwen/Qwen2.5-VL-*-Instruct``.
 
 No checkpoint ships in this environment (zero egress), so these maps are
@@ -103,6 +103,23 @@ def _mme5_key_map(torch_key: str, cross_layers) -> Optional[str]:
         return "params/vision_model/patch_embed/kernel"
     if k == "vision_model.class_embedding":
         return "params/vision_model/class_embedding"
+    m = re.match(
+        r"vision_model\.(pre|post)_tile_positional_embedding\.(embedding\.weight|gate)",
+        k,
+    )
+    if m:
+        which, leaf = m.group(1), m.group(2)
+        leaf = "embedding" if leaf.startswith("embedding") else "gate"
+        return f"params/vision_model/{which}_tile_pos_embed/{leaf}"
+    m = re.match(
+        r"vision_model\.gated_positional_embedding\."
+        r"(embedding|tile_embedding\.weight|gate)",
+        k,
+    )
+    if m:
+        leaf = {"embedding": "embedding", "tile_embedding.weight": "tile_embedding",
+                "gate": "gate"}[m.group(1)]
+        return f"params/vision_model/gated_pos_embed/{leaf}"
     if k == "vision_model.layernorm_pre.weight":
         return "params/vision_model/pre_ln/scale"
     if k == "vision_model.layernorm_pre.bias":

@@ -57,6 +57,21 @@ class MllamaVisionConfig:
     heads: int = 16
     mlp_ratio: float = 4.0
     intermediate_layers: Tuple[int, ...] = (3, 7, 15, 23, 30)
+    # multi-tile path (HF Mllama: large pages are split into up to
+    # max_tiles 560px tiles with aspect-ratio-gated tile embeddings)
+    max_tiles: int = 4
+
+    @property
+    def patches_per_tile(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_aspect_ratio_ids(self) -> int:
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            num_aspect_ratio_ids,
+        )
+
+        return num_aspect_ratio_ids(self.max_tiles)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,16 +124,94 @@ class MllamaConfig:
         return cls()
 
 
+class TilePositionalEmbedding(nn.Module):
+    """HF ``MllamaPrecomputedAspectRatioEmbedding``: a per-aspect-ratio,
+    per-tile embedding added to every token of the tile, tanh-gated.
+    Table stored in the torch layout ``(num_ids, max_tiles*width)`` so the
+    checkpoint tensor ports with a direct shape match."""
+
+    max_tiles: int
+    width: int
+    num_ids: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, aspect_ratio_ids: jnp.ndarray):
+        """x: (B, T, L, D); aspect_ratio_ids: (B,)."""
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_ids, self.max_tiles * self.width),
+        )
+        gate = self.param("gate", nn.initializers.zeros, (1,))
+        emb = table[aspect_ratio_ids].reshape(-1, self.max_tiles, 1, self.width)
+        return x + jnp.tanh(gate) * emb.astype(x.dtype)
+
+
+class GatedPositionalEmbedding(nn.Module):
+    """HF ``MllamaPrecomputedPositionEmbedding``: blend of a shared
+    per-patch table and a per-aspect-ratio per-tile-per-patch table,
+    ``x + (1-tanh(g))·pos + tanh(g)·tile_pos[ar_id]``."""
+
+    max_tiles: int
+    width: int
+    num_ids: int
+    num_patches: int  # includes the class token
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, aspect_ratio_ids: jnp.ndarray):
+        """x: (B, T, L, D) with L == num_patches."""
+        pos = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_patches, self.width),
+        )
+        tile_table = self.param(
+            "tile_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_ids, self.max_tiles * self.num_patches * self.width),
+        )
+        gate = self.param("gate", nn.initializers.zeros, (1,))
+        g = jnp.tanh(gate)
+        x = x + ((1.0 - g) * pos)[None, None].astype(x.dtype)
+        tile_pos = tile_table[aspect_ratio_ids].reshape(
+            -1, self.max_tiles, self.num_patches, self.width
+        )
+        return x + (g * tile_pos).astype(x.dtype)
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
 class MllamaVisionEncoder(nn.Module):
+    """Tiled Mllama vision tower (re-derivation of HF's MllamaVisionModel,
+    the model behind ``embedder.py:73-83``): per-tile patch embedding →
+    gated pre-tile embedding → class token → gated positional embedding →
+    local transformer over the flattened tile sequence (padded to a
+    multiple of 8, padding/invalid tiles masked) → post LN → gated
+    post-tile embedding → gated global transformer → concat[final,
+    channel-interleaved intermediates] → projector."""
+
     config: MllamaVisionConfig
     out_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
-        """images: (B, S, S, 3) in [0, 1] → (B, 1+patches, out_dim)."""
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, T, S, S, 3) normalized tiles
+        aspect_ratio_ids: jnp.ndarray,  # (B,) int
+        tile_mask: jnp.ndarray,  # (B, T) 1 = real tile
+    ):
+        """→ (vision_states (B, T*(1+P), out_dim), token_mask (B, T*(1+P)))."""
         cfg = self.config
         p = cfg.patch_size
+        b, t = images.shape[0], images.shape[1]
+        # the aspect-ratio tables address exactly max_tiles slots; a short
+        # stack would silently broadcast against them
+        assert t == cfg.max_tiles, (
+            f"expected a full {cfg.max_tiles}-tile stack, got {t} tiles"
+        )
         x = nn.Conv(
             cfg.width,
             kernel_size=(p, p),
@@ -127,20 +220,41 @@ class MllamaVisionEncoder(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="patch_embed",
-        )(images.astype(self.dtype))
-        b, gh, gw, c = x.shape
-        x = x.reshape(b, gh * gw, c)
+        )(images.astype(self.dtype).reshape((b * t,) + images.shape[2:]))
+        patches = x.shape[1] * x.shape[2]
+        x = x.reshape(b, t, patches, cfg.width)
+        x = TilePositionalEmbedding(
+            cfg.max_tiles,
+            cfg.width,
+            cfg.num_aspect_ratio_ids,
+            name="pre_tile_pos_embed",
+        )(x, aspect_ratio_ids)
         cls_tok = self.param(
-            "class_embedding", nn.initializers.normal(stddev=0.02), (1, 1, cfg.width)
+            "class_embedding", nn.initializers.normal(stddev=0.02), (cfg.width,)
         )
-        x = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, cfg.width)), x], axis=1)
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(stddev=0.02),
-            (1, 1 + (cfg.image_size // p) ** 2, cfg.width),
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_tok.astype(x.dtype), (b, t, 1, cfg.width)), x],
+            axis=2,
         )
-        x = x + pos[:, : x.shape[1]]
+        seq = patches + 1
+        x = GatedPositionalEmbedding(
+            cfg.max_tiles,
+            cfg.width,
+            cfg.num_aspect_ratio_ids,
+            seq,
+            name="gated_pos_embed",
+        )(x, aspect_ratio_ids)
         x = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(x)
+
+        # pad each tile's sequence to a multiple of 8 (HF does the same;
+        # also the TPU-friendly shape), flatten tiles into one sequence,
+        # and mask padding positions + invalid tiles as attention keys
+        padded = _pad_to_multiple(seq, 8)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, padded - seq), (0, 0)))
+        pos_valid = (jnp.arange(padded) < seq)[None, None, :]  # (1, 1, Lp)
+        key_valid = (tile_mask[:, :, None].astype(bool) & pos_valid).reshape(b, -1)
+        attn_mask = key_valid[:, None, None, :]  # (B, 1, 1, T*Lp)
+        x = x.reshape(b, t * padded, cfg.width)
 
         intermediates = []
         for i in range(cfg.layers):
@@ -154,20 +268,34 @@ class MllamaVisionEncoder(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 name=f"local{i}",
-            )(x)
+            )(x, mask=attn_mask)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
+        x = x.reshape(b, t, padded, cfg.width)
+        x = TilePositionalEmbedding(
+            cfg.max_tiles,
+            cfg.width,
+            cfg.num_aspect_ratio_ids,
+            name="post_tile_pos_embed",
+        )(x, aspect_ratio_ids)
+        x = x.reshape(b, t * padded, cfg.width)
         for i in range(cfg.global_layers):
             x = GatedEncoderBlock(
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 name=f"global{i}",
-            )(x)
+            )(x, mask=attn_mask)
 
-        # Mllama concatenates selected intermediate states with the final
-        # output before projection.
-        feats = jnp.concatenate(intermediates + [x], axis=-1)
-        return nn.Dense(
+        # HF concatenates [final, stack(intermediates, -1).reshape(.., -1)]:
+        # the intermediate block is CHANNEL-INTERLEAVED (index = c*n_int + l),
+        # which the projector's kernel layout depends on.
+        inter = jnp.stack(intermediates, axis=-1).reshape(b, t * padded, -1)
+        feats = jnp.concatenate([x, inter], axis=-1)
+        # drop the per-tile padding positions before the projector
+        feats = feats.reshape(b, t, padded, -1)[:, :, :seq].reshape(
+            b, t * seq, -1
+        )
+        out = nn.Dense(
             self.out_dim,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.normal(stddev=0.02), (EMBED, None)
@@ -175,6 +303,10 @@ class MllamaVisionEncoder(nn.Module):
             dtype=self.dtype,
             name="multi_modal_projector",
         )(feats)
+        token_mask = jnp.broadcast_to(
+            tile_mask[:, :, None].astype(bool), (b, t, seq)
+        ).reshape(b, t * seq)
+        return out, token_mask
 
 
 class MllamaTextModel(nn.Module):
@@ -187,6 +319,7 @@ class MllamaTextModel(nn.Module):
         token_ids: jnp.ndarray,
         attention_mask: jnp.ndarray,
         vision_states: Optional[jnp.ndarray] = None,
+        vision_mask: Optional[jnp.ndarray] = None,  # (B, Lv) 1 = real token
     ):
         cfg = self.config
         x = nn.Embed(
@@ -206,6 +339,9 @@ class MllamaTextModel(nn.Module):
             # a single zero vision token, and the tanh gates make the
             # contribution vanish at gate==0 exactly as in the no-image path.
             vision_states = jnp.zeros((x.shape[0], 1, cfg.hidden), x.dtype)
+        cross_mask = None
+        if vision_mask is not None:
+            cross_mask = vision_mask[:, None, None, :].astype(bool)
         for i in range(cfg.layers):
             if i in cfg.cross_attn_layers:
                 x = CrossAttentionBlock(
@@ -215,7 +351,7 @@ class MllamaTextModel(nn.Module):
                     mlp_hidden=cfg.mlp_hidden,
                     dtype=self.dtype,
                     name=f"cross{i}",
-                )(x, vision_states)
+                )(x, vision_states, cross_mask=cross_mask)
             else:
                 x = LlamaBlock(
                     num_heads=cfg.heads,
@@ -246,12 +382,42 @@ class MmE5Embedder(nn.Module):
         self,
         token_ids: jnp.ndarray,  # (B, L)
         attention_mask: jnp.ndarray,  # (B, L)
-        images: Optional[jnp.ndarray] = None,  # (B, S, S, 3) or None for text-only
+        images: Optional[jnp.ndarray] = None,  # (B, T, S, S, 3) tiles,
+        #   or (B, S, S, 3) → treated as one (1,1)-aspect tile per image
+        aspect_ratio_ids: Optional[jnp.ndarray] = None,  # (B,)
+        tile_mask: Optional[jnp.ndarray] = None,  # (B, T)
     ) -> jnp.ndarray:
-        vision_states = None
+        vision_states = vision_mask = None
         if images is not None:
-            vision_states = self.vision_model(images)
-        hidden = self.text_model(token_ids, attention_mask, vision_states)
+            single_tile = images.ndim == 4
+            if single_tile:
+                images = images[:, None]
+            b, t = images.shape[0], images.shape[1]
+            max_t = self.config.vision.max_tiles
+            if t < max_t:
+                # the aspect-ratio tile tables address max_tiles slots —
+                # always present a full (zero-padded) tile stack
+                images = jnp.pad(
+                    images, ((0, 0), (0, max_t - t), (0, 0), (0, 0), (0, 0))
+                )
+            if aspect_ratio_ids is None:
+                # id 1 = the (1,1) single-tile arrangement
+                aspect_ratio_ids = jnp.ones((b,), jnp.int32)
+            if tile_mask is None:
+                # first t tiles valid, padding tiles masked
+                tile_mask = jnp.broadcast_to(
+                    (jnp.arange(max_t)[None] < t).astype(jnp.int32), (b, max_t)
+                )
+            elif tile_mask.shape[1] < max_t:
+                tile_mask = jnp.pad(
+                    tile_mask, ((0, 0), (0, max_t - tile_mask.shape[1]))
+                )
+            vision_states, vision_mask = self.vision_model(
+                images, aspect_ratio_ids, tile_mask
+            )
+        hidden = self.text_model(
+            token_ids, attention_mask, vision_states, vision_mask
+        )
         return last_token_pool(
             hidden.astype(jnp.float32), attention_mask, normalize=True
         )

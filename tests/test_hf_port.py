@@ -25,6 +25,13 @@ def synthetic_mllama_keys(config):
         "vision_model.layernorm_pre.bias",
         "vision_model.layernorm_post.weight",
         "vision_model.layernorm_post.bias",
+        "vision_model.pre_tile_positional_embedding.embedding.weight",
+        "vision_model.pre_tile_positional_embedding.gate",
+        "vision_model.post_tile_positional_embedding.embedding.weight",
+        "vision_model.post_tile_positional_embedding.gate",
+        "vision_model.gated_positional_embedding.embedding",
+        "vision_model.gated_positional_embedding.gate",
+        "vision_model.gated_positional_embedding.tile_embedding.weight",
     ]
     for i in range(config.text.layers):
         if i in config.text.cross_attn_layers:
@@ -73,6 +80,22 @@ def synthetic_mllama_keys(config):
             keys.append(f"vision_model.transformer.layers.{i}.{part}")
     for i in range(config.vision.global_layers):
         keys.append(f"vision_model.global_transformer.layers.{i}.gate_attn")
+        keys.append(f"vision_model.global_transformer.layers.{i}.gate_ffn")
+        for part in (
+            "input_layernorm.weight",
+            "input_layernorm.bias",
+            "post_attention_layernorm.weight",
+            "post_attention_layernorm.bias",
+            "self_attn.q_proj.weight",
+            "self_attn.k_proj.weight",
+            "self_attn.v_proj.weight",
+            "self_attn.o_proj.weight",
+            "mlp.fc1.weight",
+            "mlp.fc1.bias",
+            "mlp.fc2.weight",
+            "mlp.fc2.bias",
+        ):
+            keys.append(f"vision_model.global_transformer.layers.{i}.{part}")
     return keys
 
 
@@ -91,19 +114,25 @@ class TestMmE5Map:
         flat = set(flatten_params(fnn.unbox(variables)).keys())
         mme5_key_map = make_mme5_key_map(config)
         mapped, unmapped = 0, []
+        covered = set()
         for key in synthetic_mllama_keys(config):
             target = mme5_key_map(key)
             if target is None:
                 unmapped.append(key)
                 continue
             assert target in flat, f"{key} -> {target} not in model"
+            covered.add(target)
             mapped += 1
         assert mapped > 40
         assert not unmapped, unmapped
+        # FULL surjectivity: every parameter in our tree must be reachable
+        # from some checkpoint key — nothing in the model is unportable
+        uncovered = sorted(flat - covered)
+        assert not uncovered, uncovered
 
     def test_unknown_keys_skipped(self):
         mme5_key_map = make_mme5_key_map(MllamaConfig.tiny())
-        assert mme5_key_map("vision_model.gated_positional_embedding.tile_embedding.weight") is None
+        assert mme5_key_map("language_model.lm_head.weight") is None
         assert mme5_key_map("something.else") is None
 
 
