@@ -85,6 +85,11 @@ class DetectorConfig:
     # DocLayout-YOLO GL-CRM backbone blocks (the DocStructBench checkpoint
     # is this architecture, not base v10 — arXiv 2410.12628)
     glcrm: bool = True
+    # Stage-1 multigrid path: letterbox all 30 views on device (matmul
+    # resize) instead of per-view host resizes — one extra extraction
+    # program compile per distinct page shape (persistently cached), large
+    # host-CPU saving on 1-vCPU machines
+    device_letterbox: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,6 +102,45 @@ class LayoutDetector:
                 "(no checkpoint configured)"
             )
         self._forward = self._build_forward()
+        self._views_programs: Dict[Tuple[int, int], tuple] = {}
+
+    def _views_program(self, height: int, width: int):
+        """Per-page-shape jitted view extraction + on-device letterbox
+        (``ops.image.letterbox_views_matmul``). One extra compile per
+        distinct page shape, persistently cached by the XLA compilation
+        cache; removes ~30 host-side resizes per page."""
+        key = (height, width)
+        cached = self._views_programs.get(key)
+        if cached is not None:
+            return cached
+        from multimodal_embeddings_tpu.ops.image import letterbox_views_matmul
+
+        bounds = [(0, 0, width, height)]
+        cells_by_grid: Dict[Tuple[int, int], List[GridCell]] = {}
+        for rows, cols in self.config.grid_configs:
+            cells = grid_cells(width, height, rows, cols, self.config.overlap_percentage)
+            cells_by_grid[(rows, cols)] = cells
+            bounds.extend(cell.slice_bounds for cell in cells)
+        size = self.config.image_size
+
+        # letterbox placement is host-static per slice shape
+        metas = []
+        for x0, y0, x1, y1 in bounds:
+            gh, gw = y1 - y0, x1 - x0
+            scale = min(size / gh, size / gw)
+            new_h, new_w = int(round(gh * scale)), int(round(gw * scale))
+            metas.append((scale, ((size - new_h) // 2, (size - new_w) // 2)))
+
+        @jax.jit
+        def extract(page):
+            views, _ = letterbox_views_matmul(
+                page.astype(jnp.float32), bounds, size
+            )
+            return views
+
+        entry = (extract, metas, bounds, cells_by_grid)
+        self._views_programs[key] = entry
+        return entry
 
     def _build_forward(self):
         model = self.model
@@ -142,6 +181,12 @@ class LayoutDetector:
             metas.append((scale, pad, img.shape[:2]))
 
         det = self._forward(self.variables, jnp.asarray(batch))
+        return self._postprocess_views(det, metas)
+
+    @staticmethod
+    def _postprocess_views(det, metas):
+        """Model outputs → per-view (boxes_original, classes, scores);
+        ``metas[i] = (scale, (pad_top, pad_left), (h, w))``."""
         boxes = np.asarray(det.boxes, np.float64)
         scores = np.asarray(det.scores, np.float64)
         classes = np.asarray(det.classes)
@@ -203,20 +248,35 @@ class LayoutDetector:
         """
         image = load_image_rgb(image_path)
         height, width = image.shape[:2]
-
-        views: List[np.ndarray] = [image]
-        view_meta: List[Optional[Tuple[Tuple[int, int], GridCell]]] = [None]
         grids: List[Tuple[int, int]] = list(self.config.grid_configs)
-        cells_by_grid: Dict[Tuple[int, int], List[GridCell]] = {}
-        for rows, cols in grids:
-            cells = grid_cells(width, height, rows, cols, self.config.overlap_percentage)
-            cells_by_grid[(rows, cols)] = cells
-            for cell in cells:
-                x0, y0, x1, y1 = cell.slice_bounds
-                views.append(image[y0:y1, x0:x1])
-                view_meta.append(((rows, cols), cell))
 
-        detections = self.detect_batch(views)
+        if self.config.device_letterbox:
+            # page uploaded ONCE; all 30 views sliced + letterboxed on
+            # device (matmul resize), host does no per-view resampling
+            extract, lb_metas, bounds, cells_by_grid = self._views_program(
+                height, width
+            )
+            views_dev = extract(jnp.asarray(image))
+            det = self._forward(self.variables, views_dev)
+            metas = [
+                (scale, pad, (y1 - y0, x1 - x0))
+                for (scale, pad), (x0, y0, x1, y1) in zip(lb_metas, bounds)
+            ]
+            detections = self._postprocess_views(det, metas)
+            view_shapes = [(y1 - y0, x1 - x0, image.shape[2]) for (x0, y0, x1, y1) in bounds]
+        else:
+            views: List[np.ndarray] = [image]
+            cells_by_grid = {}
+            for rows, cols in grids:
+                cells = grid_cells(
+                    width, height, rows, cols, self.config.overlap_percentage
+                )
+                cells_by_grid[(rows, cols)] = cells
+                for cell in cells:
+                    x0, y0, x1, y1 = cell.slice_bounds
+                    views.append(image[y0:y1, x0:x1])
+            detections = self.detect_batch(views)
+            view_shapes = [v.shape for v in views]
 
         def to_regions(idx: int, path: str, shape) -> Dict:
             boxes, classes, scores = detections[idx]
@@ -242,7 +302,7 @@ class LayoutDetector:
             cells = cells_by_grid[(rows, cols)]
             cell_regions = []
             for cell in cells:
-                regions = to_regions(idx, image_path, views[idx].shape)
+                regions = to_regions(idx, image_path, view_shapes[idx])
                 regions["cell_coordinates"] = cell.coordinates
                 regions["original_image_path"] = image_path
                 regions["boxes_original"] = translate_boxes(regions["boxes"], cell)

@@ -123,6 +123,28 @@ class MllamaConfig:
         """The full mmE5-mllama-11b-instruct layout."""
         return cls()
 
+    @classmethod
+    def mme5_2b(cls) -> "MllamaConfig":
+        """A ~2B single-chip serving config with the FULL Mllama vision
+        tower (1280-wide, 32+8 layers — the part that defines the
+        embedding contract's compute shape) over a scaled-down Llama text
+        stack. ``max_tiles=1`` because the fused pipeline embeds 560px
+        region crops (single-tile by construction); bf16 fits v5e HBM
+        without TP, and the TP axis annotations still apply for larger
+        slices."""
+        return cls(
+            vision=MllamaVisionConfig(max_tiles=1),
+            text=MllamaTextConfig(
+                hidden=2048,
+                layers=16,
+                heads=16,
+                kv_heads=8,
+                head_dim=128,
+                mlp_hidden=8192,
+                cross_attn_layers=(3, 8, 13),
+            ),
+        )
+
 
 class TilePositionalEmbedding(nn.Module):
     """HF ``MllamaPrecomputedAspectRatioEmbedding``: a per-aspect-ratio,
@@ -143,7 +165,11 @@ class TilePositionalEmbedding(nn.Module):
             (self.num_ids, self.max_tiles * self.width),
         )
         gate = self.param("gate", nn.initializers.zeros, (1,))
-        emb = table[aspect_ratio_ids].reshape(-1, self.max_tiles, 1, self.width)
+        # jnp.asarray: params may be host numpy arrays (init_on_host) when
+        # closed over by an outer jit — numpy can't index by tracer
+        emb = jnp.asarray(table)[aspect_ratio_ids].reshape(
+            -1, self.max_tiles, 1, self.width
+        )
         return x + jnp.tanh(gate) * emb.astype(x.dtype)
 
 
@@ -173,7 +199,7 @@ class GatedPositionalEmbedding(nn.Module):
         gate = self.param("gate", nn.initializers.zeros, (1,))
         g = jnp.tanh(gate)
         x = x + ((1.0 - g) * pos)[None, None].astype(x.dtype)
-        tile_pos = tile_table[aspect_ratio_ids].reshape(
+        tile_pos = jnp.asarray(tile_table)[aspect_ratio_ids].reshape(
             -1, self.max_tiles, self.num_patches, self.width
         )
         return x + (g * tile_pos).astype(x.dtype)

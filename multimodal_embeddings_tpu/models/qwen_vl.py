@@ -55,6 +55,13 @@ class QwenVisionConfig:
     layers: int = 32
     heads: int = 16
     mlp_ratio: float = 4.0
+    # Qwen2.5-VL window attention: all blocks attend within
+    # window_size-pixel windows except the listed full-attention blocks
+    # (HF config: window_size=112, fullatt_block_indexes=[7,15,23,31]).
+    # window_size=None disables windowing everywhere.
+    window_size: Optional[int] = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    rope_theta: float = 10000.0
 
 
 @dataclasses.dataclass(frozen=True)

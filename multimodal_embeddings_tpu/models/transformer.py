@@ -65,6 +65,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 _FLASH_MIN_LEN = 2048
 
 
+def _f32_logits_forced() -> bool:
+    import os
+
+    return os.environ.get("MMTPU_F32_LOGITS") == "1"
+
+
 def _flash_eligible(q, k, mask, causal) -> bool:
     """Dispatch to the Pallas flash kernel only where it wins: very long
     unmasked self-attention on TPU, where the XLA path's (B, H, L, L) f32
@@ -118,9 +124,16 @@ def sdpa(
         rep = h // kvh
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    # bf16 inputs materialize bf16 QK logits (the (B, H, L, L) tensor is
+    # the dominant HBM write of encoder attention — trace-measured 33
+    # ms/page at ViT-448 scale in f32); softmax still runs in f32 on the
+    # upcast. MMTPU_F32_LOGITS=1 forces full-precision logits.
+    pref = jnp.float32
+    if q.dtype == jnp.bfloat16 and not _f32_logits_forced():
+        pref = jnp.bfloat16
     logits = jnp.einsum(
-        "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(d).astype(jnp.float32)
+        "blhd,bmhd->bhlm", q, k, preferred_element_type=pref
+    ).astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
     if causal:
         causal_mask = jnp.tril(jnp.ones((lq, k.shape[1]), bool))
         logits = jnp.where(causal_mask[None, None], logits, -1e30)

@@ -315,7 +315,9 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return mat
 
 
-def resize_matmul(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+def resize_matmul(
+    images: jnp.ndarray, out_h: int, out_w: int, dtype=jnp.float32
+) -> jnp.ndarray:
     """Batched bilinear resize expressed as two dense contractions.
 
     ``images (B, H, W, C) → (B, out_h, out_w, C)``. On TPU this runs on the
@@ -326,19 +328,27 @@ def resize_matmul(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     results within float tolerance of the gather path.
     """
     h, w = int(images.shape[1]), int(images.shape[2])
-    ry = jnp.asarray(_interp_matrix(h, out_h))
-    rx = jnp.asarray(_interp_matrix(w, out_w))
-    imgs = images.astype(jnp.float32)
+    ry = jnp.asarray(_interp_matrix(h, out_h), dtype)
+    rx = jnp.asarray(_interp_matrix(w, out_w), dtype)
+    imgs = images.astype(dtype)
+    # HIGHEST keeps the f32 path within float tolerance of the gather
+    # resize; the bf16 path (half the HBM traffic) trades sub-LSB rounding
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     tmp = jnp.einsum(
-        "oh,bhwc->bowc", ry, imgs, precision=jax.lax.Precision.HIGHEST
+        "oh,bhwc->bowc", ry, imgs, precision=precision,
+        preferred_element_type=dtype,
     )
     return jnp.einsum(
-        "pw,bowc->bopc", rx, tmp, precision=jax.lax.Precision.HIGHEST
+        "pw,bowc->bopc", rx, tmp, precision=precision,
+        preferred_element_type=dtype,
     )
 
 
 def extract_views_matmul(
-    page: jnp.ndarray, view_bounds: "list[tuple[int, int, int, int]]", out_size: int
+    page: jnp.ndarray,
+    view_bounds: "list[tuple[int, int, int, int]]",
+    out_size: int,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Extract + resize all page views (full page and grid cells) as static
     slices + matmul resizes, grouped by identical slice shape so each group
@@ -350,6 +360,7 @@ def extract_views_matmul(
         groups.setdefault((y1 - y0, x1 - x0), []).append((idx, x0, y0))
 
     slots = [None] * len(view_bounds)
+    page = page.astype(dtype)
     for (gh, gw), members in groups.items():
         stack = jnp.stack(
             [
@@ -359,18 +370,21 @@ def extract_views_matmul(
                 for _, x0, y0 in members
             ]
         )
-        resized = resize_matmul(stack, out_size, out_size)
+        resized = resize_matmul(stack, out_size, out_size, dtype=dtype)
         for slot, (idx, _, _) in enumerate(members):
             slots[idx] = resized[slot]
     return jnp.stack(slots)
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "chunk", "compute_dtype")
+)
 def crop_and_resize_mxu(
     image: jnp.ndarray,  # (H, W, C)
     boxes: jnp.ndarray,  # (N, 4) [x1, y1, x2, y2] pixel coords (dynamic)
     out_size: int = 448,
     chunk: int = 8,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Dynamic-box batched crop+resize built for the MXU.
 
@@ -384,10 +398,15 @@ def crop_and_resize_mxu(
 
     Bilinear, border-clamped (resize semantics). Matches ``crop_and_resize``
     within float tolerance for in-bounds boxes.
+
+    ``compute_dtype=bfloat16`` carries pixel payloads and blend weights in
+    bf16 (index math stays f32): halves the dominant HBM traffic of the
+    row gathers — blend-weight rounding is below one uint8 LSB, fine for
+    embedder inputs.
     """
     h, w = image.shape[0], image.shape[1]
     n = boxes.shape[0]
-    imgf = image.astype(jnp.float32)
+    imgf = image.astype(compute_dtype)
 
     def one_chunk(chunk_boxes):
         b = chunk_boxes.shape[0]
@@ -406,22 +425,74 @@ def crop_and_resize_mxu(
 
         # vertical: two contiguous row gathers + blend
         y0 = jnp.floor(src_y)
-        wy = (src_y - y0)[..., None, None]
+        wy = (src_y - y0)[..., None, None].astype(compute_dtype)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
         y1i = jnp.clip(y0i + 1, 0, h - 1)
         rows0 = jnp.take(imgf, y0i.reshape(-1), axis=0).reshape(b, out_size, w, -1)
         rows1 = jnp.take(imgf, y1i.reshape(-1), axis=0).reshape(b, out_size, w, -1)
-        rows = rows0 * (1.0 - wy) + rows1 * wy  # (b, S, W, C)
+        one = jnp.asarray(1.0, compute_dtype)
+        rows = rows0 * (one - wy) + rows1 * wy  # (b, S, W, C)
 
         # horizontal: per-crop hat-function interpolation matrix on the MXU
         cols = jax.lax.broadcasted_iota(jnp.float32, (b, out_size, w), 2)
-        rx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[..., None] - cols))  # (b, X, W)
+        rx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[..., None] - cols)).astype(
+            compute_dtype
+        )  # (b, X, W)
         return jnp.einsum(
             "bswc,bxw->bsxc", rows, rx, preferred_element_type=jnp.float32
         )
 
     pad = (-n) % chunk
     boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, pad), (0, 0)))
-    chunks = boxes_p.reshape(-1, chunk, 4)
-    out = jax.lax.map(one_chunk, chunks)
+    # unrolled chunk loop (vs lax.map): lets XLA overlap the row-gather DMA
+    # of one chunk with the interpolation matmul of the previous one
+    outs = [
+        one_chunk(boxes_p[i * chunk : (i + 1) * chunk])
+        for i in range((n + pad) // chunk)
+    ]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out.reshape(-1, out_size, out_size, image.shape[2])[:n]
+
+
+def letterbox_views_matmul(
+    page: jnp.ndarray,
+    view_bounds: "list[tuple[int, int, int, int]]",
+    out_size: int,
+    pad_value: float = 114.0,
+):
+    """Extract all page views (static slices) and LETTERBOX each on device:
+    aspect-preserving matmul resize + centered gray padding — the exact
+    ``_letterbox_host`` placement (round-half-even scale, //2 offsets) with
+    the resample on the MXU instead of the 1-vCPU host.
+
+    Returns ``(views (V, S, S, C) float32, metas)`` where ``metas[i] =
+    (scale, (pad_top, pad_left))`` are host-static per view (slice shapes
+    are static), for ``scale_boxes_to_original`` back-projection.
+    """
+    groups: dict = {}
+    for idx, (x0, y0, x1, y1) in enumerate(view_bounds):
+        groups.setdefault((y1 - y0, x1 - x0), []).append((idx, x0, y0))
+
+    c = page.shape[2]
+    slots = [None] * len(view_bounds)
+    metas = [None] * len(view_bounds)
+    for (gh, gw), members in groups.items():
+        scale = min(out_size / gh, out_size / gw)
+        new_h, new_w = int(round(gh * scale)), int(round(gw * scale))
+        top = (out_size - new_h) // 2
+        left = (out_size - new_w) // 2
+        stack = jnp.stack(
+            [
+                jax.lax.dynamic_slice(page, (y0, x0, 0), (gh, gw, c))
+                for _, x0, y0 in members
+            ]
+        )
+        resized = resize_matmul(stack, new_h, new_w)
+        canvas = jnp.full(
+            (len(members), out_size, out_size, c), pad_value, jnp.float32
+        )
+        canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
+        for slot, (idx, _, _) in enumerate(members):
+            slots[idx] = canvas[slot]
+            metas[idx] = (scale, (top, left))
+    return jnp.stack(slots), metas

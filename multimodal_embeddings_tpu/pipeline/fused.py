@@ -112,12 +112,18 @@ def build_fused_page_fn(
 
     @jax.jit
     def fused(page: jnp.ndarray) -> PageResult:
-        pagef = page.astype(jnp.float32)
+        # bf16 payloads through the resampling stages: halves the HBM
+        # traffic of the page-sized gathers/matmuls; weight rounding stays
+        # below one uint8 LSB (models compute in bf16 anyway)
+        pagef = page.astype(jnp.bfloat16)
         # 1. all views via static slices + matmul resize — MXU work instead
         # of per-pixel gathers (aspect-squeeze resize; the standalone CLI
         # path letterboxes instead — detection-equivalent at these aspect
         # ratios and strictly cheaper on HBM)
-        view_imgs = extract_views_matmul(pagef, view_bounds, det_size) / 255.0
+        view_imgs = (
+            extract_views_matmul(pagef, view_bounds, det_size, dtype=jnp.bfloat16)
+            / 255.0
+        )
         # 2. detect all views as one batch
         outputs = det_model.apply(det_vars, view_imgs, train=False)
         det = decode_predictions(
@@ -163,7 +169,15 @@ def build_fused_page_fn(
         # 4-5. crop regions from the full-res page (row-gather + MXU
         # interpolation matmul — per-pixel gathers profiled 340ms/page) and
         # embed in one batch
-        crops = crop_and_resize_mxu(pagef, top_boxes, out_size=emb_size) / 255.0
+        crops = (
+            crop_and_resize_mxu(
+                pagef,
+                top_boxes,
+                out_size=emb_size,
+                compute_dtype=jnp.bfloat16,
+            )
+            / 255.0
+        )
         if family == "mme5":
             ids = jnp.broadcast_to(prompt_ids, (num_regions, prompt_ids.shape[1]))
             mask = jnp.broadcast_to(prompt_mask, (num_regions, prompt_mask.shape[1]))

@@ -303,7 +303,7 @@ class Collection:
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=None)
+@_functools.lru_cache(maxsize=32)
 def _masked_topk_fn(k: int):
     """Jitted masked-top-k factory, cached per k so repeated queries hit the
     jit cache instead of retracing (tunnel compiles cost minutes)."""
@@ -321,8 +321,20 @@ def _masked_topk_fn(k: int):
 
 def _masked_topk(corpus, queries, mask, k: int):
     """(N,D) corpus × (Q,D) queries → top-k similarities/indices among
-    mask-true rows."""
-    return _masked_topk_fn(k)(corpus, queries, mask)
+    mask-true rows.
+
+    k is bucketed to the next power of two (clamped to the corpus size) so
+    a long-running serve process with shifting where-filters compiles a
+    BOUNDED set of top-k programs — k tracks ``mask.sum()``, which varies
+    per filter, and each new program costs minutes through the tunnel."""
+    bucket = 1
+    while bucket < k:
+        bucket *= 2
+    bucket = min(bucket, corpus.shape[0])
+    sims, idx = _masked_topk_fn(bucket)(corpus, queries, mask)
+    if bucket != k:
+        sims, idx = sims[:, :k], idx[:, :k]
+    return sims, idx
 
 
 class Client:

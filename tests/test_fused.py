@@ -125,3 +125,40 @@ class TestCrossViewDedup:
         assert loaded.orientation.sensitivity_threshold == 0.5
         assert loaded.detector.image_size == 1024
         assert loaded.embedder.family == "siglip"
+
+
+class TestDeviceLetterbox:
+    def test_multigrid_matches_host_letterbox(self, tmp_path):
+        """The on-device letterbox path (matmul resize) must reproduce the
+        host path's detections on the stage-1 multigrid CLI contract."""
+        import dataclasses
+
+        from PIL import Image
+
+        from multimodal_embeddings_tpu.config import DetectorConfig
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (400, 320, 3)).astype(np.uint8)
+        path = str(tmp_path / "page.png")
+        Image.fromarray(img).save(path)
+        cfg = DetectorConfig(
+            image_size=128, variant="n", grid_configs=((2, 2),),
+            device_letterbox=True,
+        )
+        det_d = LayoutDetector(cfg, dtype=jnp.float32)
+        det_h = LayoutDetector(
+            dataclasses.replace(cfg, device_letterbox=False), dtype=jnp.float32
+        )
+        full_d, grids_d = det_d.detect_page_multigrid(path)
+        full_h, grids_h = det_h.detect_page_multigrid(path)
+        np.testing.assert_allclose(full_d["boxes"], full_h["boxes"], atol=1e-3)
+        np.testing.assert_allclose(full_d["scores"], full_h["scores"], atol=1e-5)
+        assert full_d["classes"] == full_h["classes"]
+        for (g_d, cells_d, regs_d), (g_h, cells_h, regs_h) in zip(grids_d, grids_h):
+            assert g_d == g_h
+            for rd, rh in zip(regs_d, regs_h):
+                np.testing.assert_allclose(rd["boxes"], rh["boxes"], atol=1e-3)
+                np.testing.assert_allclose(
+                    rd["boxes_original"], rh["boxes_original"], atol=1e-3
+                )
