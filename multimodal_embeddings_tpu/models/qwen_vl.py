@@ -42,7 +42,6 @@ from multimodal_embeddings_tpu.models.transformer import (
     RMSNorm,
     SwiGLU,
     apply_rope,
-    rope_frequencies,
     sdpa,
 )
 
@@ -75,6 +74,10 @@ class QwenTextConfig:
     mlp_hidden: int = 18944
     max_len: int = 4096
     rope_theta: float = 1000000.0
+    # M-RoPE: frequency-group sizes (in rotary-frequency units, summing to
+    # head_dim//2) assigned to the temporal/height/width position streams
+    # (HF Qwen2.5-VL mrope_section [16, 24, 24])
+    mrope_section: Tuple[int, int, int] = (16, 24, 24)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,13 +112,168 @@ class QwenVLConfig:
                 head_dim=16,
                 mlp_hidden=128,
                 max_len=128,
+                mrope_section=(2, 3, 3),
             ),
             image_pad_id=5,
             eos_id=2,
         )
 
 
+def vision_rope_2d(
+    gh: int, gw: int, head_dim: int, theta: float = 10000.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Qwen2-VL vision 2D rotary tables: per patch (i, j) the angle vector
+    is ``[row_freqs(i) | col_freqs(j)]`` of length head_dim/2 (HF
+    ``VisionRotaryEmbedding(head_dim // 2)`` + ``rot_pos_emb``), consumed
+    by the rotate-half convention of ``apply_rope``. Returns (cos, sin)
+    of shape (gh*gw, head_dim//2), row-major patch order."""
+    dim = head_dim // 2  # rotary dim per VisionRotaryEmbedding
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+    )  # (head_dim//4,)
+    hfreqs = np.outer(np.arange(gh, dtype=np.float64), inv_freq)  # (gh, d4)
+    wfreqs = np.outer(np.arange(gw, dtype=np.float64), inv_freq)  # (gw, d4)
+    ang = np.concatenate(
+        [
+            np.broadcast_to(hfreqs[:, None, :], (gh, gw, hfreqs.shape[1])),
+            np.broadcast_to(wfreqs[None, :, :], (gh, gw, wfreqs.shape[1])),
+        ],
+        axis=-1,
+    ).reshape(gh * gw, head_dim // 2)
+    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(
+        np.sin(ang), jnp.float32
+    )
+
+
+def _window_attention(q, k, v, gh: int, gw: int, win: int):
+    """Attention restricted to win×win patch windows of the (gh, gw) grid.
+
+    q/k/v: (B, gh*gw, H, D) in row-major patch order (RoPE already
+    applied — window partition is position-independent). Grids that are
+    not multiples of ``win`` are padded and the pad keys masked; pad
+    queries are discarded on un-partition. With one window covering the
+    whole grid this is exactly full attention (bit-identical path modulo
+    an identity reshape)."""
+    b, length, h, d = q.shape
+    nwh = -(-gh // win)
+    nww = -(-gw // win)
+    ph, pw = nwh * win - gh, nww * win - gw
+
+    def part(x):
+        x = x.reshape(b, gh, gw, h, d)
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0), (0, 0)))
+        x = x.reshape(b, nwh, win, nww, win, h, d)
+        x = x.transpose(0, 1, 3, 2, 4, 5, 6)  # (b, nwh, nww, win, win, h, d)
+        return x.reshape(b * nwh * nww, win * win, h, d)
+
+    qw, kw, vw = part(q), part(k), part(v)
+    if ph or pw:
+        valid = jnp.ones((gh, gw), bool)
+        valid = jnp.pad(valid, ((0, ph), (0, pw)))
+        valid = (
+            valid.reshape(nwh, win, nww, win)
+            .transpose(0, 2, 1, 3)
+            .reshape(nwh * nww, win * win)
+        )
+        mask = jnp.broadcast_to(
+            valid[None, :, None, None, :], (b, nwh * nww, 1, 1, win * win)
+        ).reshape(b * nwh * nww, 1, 1, win * win)
+        out = sdpa(qw, kw, vw, mask=mask)
+    else:
+        out = sdpa(qw, kw, vw)
+    out = out.reshape(b, nwh, nww, win, win, h, d).transpose(0, 1, 3, 2, 4, 5, 6)
+    out = out.reshape(b, nwh * win, nww * win, h, d)[:, :gh, :gw]
+    return out.reshape(b, length, h, d)
+
+
+def mrope_tables(
+    position_ids: jnp.ndarray,  # (3, B, L) t/h/w position streams
+    head_dim: int,
+    theta: float,
+    sections: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """M-RoPE cos/sin of shape (B, L, head_dim//2): frequency index f
+    rotates by ``pos[axis(f)] * inv_freq[f]`` where axis(f) walks the
+    t/h/w sections (HF Qwen2.5-VL ``apply_multimodal_rotary_pos_emb``).
+    With t == h == w everywhere this equals standard RoPE exactly."""
+    d2 = head_dim // 2
+    assert sum(sections) == d2, (sections, head_dim)
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )  # (d2,)
+    axis_of = np.concatenate(
+        [np.full(s, i, np.int32) for i, s in enumerate(sections)]
+    )  # (d2,)
+    pos = position_ids[jnp.asarray(axis_of)]  # (d2, B, L)
+    ang = pos.transpose(1, 2, 0).astype(jnp.float32) * jnp.asarray(
+        inv_freq, jnp.float32
+    )
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope_batched(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """rotate-half RoPE with per-batch tables: x (B, L, H, D),
+    cos/sin (B, L, D//2)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def qwen_mrope_position_ids(
+    token_ids: jnp.ndarray,  # (B, L)
+    image_pad_id: int,
+    grid_hw: Optional[Tuple[int, int]],  # MERGED vision grid (gh', gw')
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(t, h, w) position streams per HF ``get_rope_index`` for sequences
+    with at most one contiguous image span: text tokens advance all three
+    streams together; image tokens keep t at the span start and spread
+    h/w over the merged grid; text after the image resumes at
+    ``start + max(gh', gw')``. Returns (position_ids (3, B, L),
+    mrope_delta (B,)) where delta = (max position + 1) − seq_len, the
+    offset decode steps add to their scalar position."""
+    b, length = token_ids.shape
+    idx = jnp.arange(length)[None, :]
+    if grid_hw is None:
+        pos = jnp.broadcast_to(idx, (b, length))
+        return jnp.stack([pos] * 3), jnp.zeros((b,), jnp.int32)
+    gh, gw = grid_hw
+    is_pad = token_ids == image_pad_id
+    has = jnp.any(is_pad, axis=1)
+    first = jnp.argmax(is_pad, axis=1)  # (B,)
+    npad = jnp.sum(is_pad, axis=1)
+    rank = jnp.cumsum(is_pad, axis=1) - 1  # within-image index
+    row = rank // gw
+    col = rank % gw
+    after = idx >= (first + npad)[:, None]
+    after_pos = first[:, None] + max(gh, gw) + (idx - (first + npad)[:, None])
+    t = jnp.where(is_pad, first[:, None], jnp.where(after, after_pos, idx))
+    h = jnp.where(
+        is_pad, first[:, None] + row, jnp.where(after, after_pos, idx)
+    )
+    w = jnp.where(
+        is_pad, first[:, None] + col, jnp.where(after, after_pos, idx)
+    )
+    pos = jnp.stack([t, h, w]).astype(jnp.int32)
+    plain = jnp.broadcast_to(idx, (b, length)).astype(jnp.int32)
+    pos = jnp.where(has[None, :, None], pos, plain[None])
+    delta = jnp.where(
+        has,
+        first + max(gh, gw) + (length - first - npad) - length,
+        0,
+    ).astype(jnp.int32)
+    return pos, delta
+
+
 class QwenVisionTower(nn.Module):
+    """Qwen2.5-VL vision encoder: 2D rotary position embedding (no learned
+    positions — matches the checkpoint's parameter set) and window
+    attention everywhere except ``fullatt_block_indexes`` (notebook cell
+    ``39512aca`` loads this architecture with flash-attention-2)."""
+
     config: QwenVisionConfig
     out_dim: int
     dtype: Any = jnp.float32
@@ -136,21 +294,31 @@ class QwenVisionTower(nn.Module):
         )(images.astype(self.dtype))
         b, gh, gw, c = x.shape
         x = x.reshape(b, gh * gw, c)
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(stddev=0.02), (1, gh * gw, cfg.width)
-        )
-        x = x + pos[:, : x.shape[1]]
+        head_dim = cfg.width // cfg.heads
+        cos, sin = vision_rope_2d(gh, gw, head_dim, cfg.rope_theta)
+        win = None
+        if cfg.window_size is not None:
+            win = max(1, cfg.window_size // cfg.patch_size)
         for i in range(cfg.layers):
             h = nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(x)
-            # self-attention via shared sdpa (flash kernel drop-in at scale)
             qkv = nn.DenseGeneral(
-                (3, cfg.heads, cfg.width // cfg.heads),
+                (3, cfg.heads, head_dim),
                 axis=-1,
                 dtype=self.dtype,
                 name=f"qkv_{i}",
             )(h)
             q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-            attn = sdpa(q, k, v)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            full = (
+                win is None
+                or i in cfg.fullatt_block_indexes
+                or win >= max(gh, gw)
+            )
+            if full:
+                attn = sdpa(q, k, v)
+            else:
+                attn = _window_attention(q, k, v, gh, gw, win)
             h = nn.DenseGeneral(
                 cfg.width, axis=(-2, -1), dtype=self.dtype, name=f"proj_{i}"
             )(attn)
@@ -209,17 +377,15 @@ class QwenBlock(nn.Module):
             name="v",
         )(h)
 
+        # cos/sin are the per-token M-RoPE tables for THIS call:
+        # (B, L, d/2) on prefill, (B, 1, d/2) on decode
+        q = apply_rope_batched(q, cos, sin)
+        k = apply_rope_batched(k, cos, sin)
         if position is None:
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
             new_cache = (k, v)
             attn = sdpa(q, k, v, mask=mask, causal=True)
         else:
             # single-step decode against a static cache
-            cos_t = jax.lax.dynamic_slice_in_dim(cos, position, 1, axis=0)
-            sin_t = jax.lax.dynamic_slice_in_dim(sin, position, 1, axis=0)
-            q = apply_rope(q, cos_t, sin_t)
-            k = apply_rope(k, cos_t, sin_t)
             k_cache, v_cache = cache
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, position, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, position, axis=1)
@@ -279,9 +445,18 @@ class QwenVLModel(nn.Module):
             name="lm_head",
         )
 
-    def _rope(self):
+    def _merged_grid(self, images) -> Optional[Tuple[int, int]]:
+        if images is None:
+            return None
+        cfg = self.config.vision
+        m = cfg.patch_size * cfg.merge_size
+        return int(images.shape[1]) // m, int(images.shape[2]) // m
+
+    def _mrope(self, position_ids):
         cfg = self.config.text
-        return rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+        return mrope_tables(
+            position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
+        )
 
     def embed_multimodal(
         self, token_ids: jnp.ndarray, images: Optional[jnp.ndarray]
@@ -307,10 +482,14 @@ class QwenVLModel(nn.Module):
         images: Optional[jnp.ndarray] = None,
         attention_mask: Optional[jnp.ndarray] = None,
     ):
-        """Prefill forward: returns (logits, kv_caches padded to max_len)."""
+        """Prefill forward: returns (logits, kv_caches padded to max_len,
+        mrope_delta (B,) — the position offset decode steps must add)."""
         cfg = self.config.text
         x = self.embed_multimodal(token_ids, images)
-        cos, sin = self._rope()
+        position_ids, delta = qwen_mrope_position_ids(
+            token_ids, self.config.image_pad_id, self._merged_grid(images)
+        )
+        cos, sin = self._mrope(position_ids)
         mask = None
         if attention_mask is not None:
             mask = attention_mask[:, None, None, :].astype(bool)
@@ -326,12 +505,26 @@ class QwenVLModel(nn.Module):
                 )
             )
         x = self.final_norm(x)
-        return self.lm_head(x), caches
+        return self.lm_head(x), caches, delta
 
-    def decode_step(self, token_ids: jnp.ndarray, caches, position: jnp.ndarray):
-        """One cached decode step: token_ids (B, 1) at ``position``."""
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,
+        caches,
+        position: jnp.ndarray,
+        mrope_delta: Optional[jnp.ndarray] = None,
+    ):
+        """One cached decode step: token_ids (B, 1) at cache slot
+        ``position``; the rotary angle uses ``position + mrope_delta``
+        (text after an image sits at higher M-RoPE positions than its
+        cache slot)."""
         x = self.tok_embed(token_ids)
-        cos, sin = self._rope()
+        b = token_ids.shape[0]
+        pos = jnp.full((b,), position, jnp.int32)
+        if mrope_delta is not None:
+            pos = pos + mrope_delta
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, b, 1))
+        cos, sin = self._mrope(pos3)
         new_caches = []
         for block, cache in zip(self.blocks, caches):
             x, new_cache = block(x, cos, sin, cache=cache, position=position)
@@ -371,22 +564,22 @@ def greedy_generate(
     cached = _GENERATE_CACHE.get(cache_key)
     if cached is not None:
         prefill, decode = cached
-        last_logits, caches = prefill(
+        last_logits, caches, delta = prefill(
             prompt, None if images is None else jnp.asarray(images)
         )
-        return np.asarray(decode(last_logits, caches))
+        return np.asarray(decode(last_logits, caches, delta))
 
     @jax.jit
     def prefill(tokens, imgs):
-        logits, caches = model.apply(variables, tokens, imgs)
-        return logits[:, -1], caches
+        logits, caches, delta = model.apply(variables, tokens, imgs)
+        return logits[:, -1], caches, delta
 
-    last_logits, caches = prefill(
+    last_logits, caches, delta = prefill(
         prompt, None if images is None else jnp.asarray(images)
     )
 
     @jax.jit
-    def decode(last_logits, caches):
+    def decode(last_logits, caches, delta):
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         def step(carry, t):
@@ -396,6 +589,7 @@ def greedy_generate(
                 token[:, None],
                 caches,
                 prompt_len + t,
+                delta,
                 method=model.decode_step,
             )
             next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
@@ -410,4 +604,4 @@ def greedy_generate(
         return tokens.transpose(1, 0)  # (B, T)
 
     _GENERATE_CACHE[cache_key] = (prefill, decode)
-    return np.asarray(decode(last_logits, caches))
+    return np.asarray(decode(last_logits, caches, delta))

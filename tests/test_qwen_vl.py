@@ -41,7 +41,7 @@ class TestModel:
         model, variables = tiny_qwen
         ids = jnp.ones((2, 10), jnp.int32)
         imgs = jnp.zeros((2, 56, 56, 3), jnp.float32)
-        logits, caches = model.apply(variables, ids, imgs)
+        logits, caches, delta = model.apply(variables, ids, imgs)
         assert logits.shape == (2, 10, model.config.text.vocab_size)
         assert len(caches) == model.config.text.layers
         k, v = caches[0]
@@ -54,13 +54,13 @@ class TestModel:
         ids[0, 3:7] = pad  # 4 pads = (56/28)^2 vision tokens
         img_a = jnp.zeros((1, 56, 56, 3), jnp.float32)
         img_b = jnp.ones((1, 56, 56, 3), jnp.float32)
-        la, _ = model.apply(variables, jnp.asarray(ids), img_a)
-        lb, _ = model.apply(variables, jnp.asarray(ids), img_b)
+        la, _, _ = model.apply(variables, jnp.asarray(ids), img_a)
+        lb, _, _ = model.apply(variables, jnp.asarray(ids), img_b)
         assert not np.allclose(np.asarray(la), np.asarray(lb))
         # without pads the image has no entry point → logits equal
         ids_nopad = np.ones((1, 12), np.int32)
-        la2, _ = model.apply(variables, jnp.asarray(ids_nopad), img_a)
-        lb2, _ = model.apply(variables, jnp.asarray(ids_nopad), img_b)
+        la2, _, _ = model.apply(variables, jnp.asarray(ids_nopad), img_a)
+        lb2, _, _ = model.apply(variables, jnp.asarray(ids_nopad), img_b)
         np.testing.assert_array_equal(np.asarray(la2), np.asarray(lb2))
 
     def test_cached_decode_matches_full_forward(self, tiny_qwen):
@@ -71,7 +71,7 @@ class TestModel:
         prompt = rng.integers(6, 200, (1, 8)).astype(np.int32)
         next_tok = rng.integers(6, 200, (1, 1)).astype(np.int32)
 
-        logits_p, caches = model.apply(variables, jnp.asarray(prompt), None)
+        logits_p, caches, _ = model.apply(variables, jnp.asarray(prompt), None)
         step_logits, _ = model.apply(
             variables,
             jnp.asarray(next_tok),
@@ -80,7 +80,7 @@ class TestModel:
             method=model.decode_step,
         )
         full = np.concatenate([prompt, next_tok], axis=1)
-        logits_full, _ = model.apply(variables, jnp.asarray(full), None)
+        logits_full, _, _ = model.apply(variables, jnp.asarray(full), None)
         np.testing.assert_allclose(
             np.asarray(step_logits[:, -1]),
             np.asarray(logits_full[:, -1]),
@@ -148,3 +148,130 @@ class TestEndToEndParse:
         # data-bbox coordinates live in the model's actual input space
         # (fixed square resize), so the returned dims reflect image_size
         assert (in_w, in_h) == (56, 56)
+
+
+class TestQwen25Fidelity:
+    """Qwen2.5-VL specifics: window attention, vision 2D RoPE, text M-RoPE
+    (notebook cell 39512aca loads this architecture)."""
+
+    def test_window_inf_matches_full_attention(self):
+        import dataclasses as dc
+
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVisionTower
+
+        cfg_full = dc.replace(QwenVLConfig.tiny().vision, window_size=None)
+        # window covering the whole 4x4 patch grid → same computation
+        cfg_inf = dc.replace(cfg_full, window_size=14 * 100, fullatt_block_indexes=())
+        imgs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 56, 56, 3)), jnp.float32
+        )
+        tower_full = QwenVisionTower(cfg_full, out_dim=64)
+        tower_inf = QwenVisionTower(cfg_inf, out_dim=64)
+        v_full = tower_full.init(jax.random.PRNGKey(1), imgs)
+        out_full = tower_full.apply(v_full, imgs)
+        out_inf = tower_inf.apply(v_full, imgs)  # same params: window is not a param
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_inf))
+
+    def test_small_window_restricts_attention(self):
+        import dataclasses as dc
+
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVisionTower
+
+        cfg_full = dc.replace(QwenVLConfig.tiny().vision, window_size=None)
+        cfg_win = dc.replace(
+            cfg_full, window_size=2 * 14, fullatt_block_indexes=()
+        )  # 2x2-patch windows on the 4x4 grid
+        imgs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 56, 56, 3)), jnp.float32
+        )
+        tower_full = QwenVisionTower(cfg_full, out_dim=64)
+        tower_win = QwenVisionTower(cfg_win, out_dim=64)
+        v = tower_full.init(jax.random.PRNGKey(1), imgs)
+        assert not np.allclose(
+            np.asarray(tower_full.apply(v, imgs)),
+            np.asarray(tower_win.apply(v, imgs)),
+        )
+
+    def test_window_padding_matches_bigger_window(self):
+        """Non-divisible grids: pad+mask must equal one full window."""
+        from multimodal_embeddings_tpu.models.qwen_vl import _window_attention
+
+        rng = np.random.default_rng(2)
+        gh, gw = 3, 5
+        q = jnp.asarray(rng.normal(size=(2, gh * gw, 2, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(2, gh * gw, 2, 8)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(2, gh * gw, 2, 8)), jnp.float32)
+        out_pad = _window_attention(q, k, v, gh, gw, win=5)  # pads rows 3..4
+        from multimodal_embeddings_tpu.models.transformer import sdpa
+
+        np.testing.assert_allclose(
+            np.asarray(out_pad), np.asarray(sdpa(q, k, v)), atol=1e-5
+        )
+
+    def test_mrope_position_ids_hand_example(self):
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            qwen_mrope_position_ids,
+        )
+
+        ids = np.ones((1, 10), np.int32)
+        ids[0, 3:7] = 5  # 4 image pads, merged grid (2, 2)
+        pos, delta = qwen_mrope_position_ids(jnp.asarray(ids), 5, (2, 2))
+        pos = np.asarray(pos)
+        np.testing.assert_array_equal(pos[0, 0], [0, 1, 2, 3, 3, 3, 3, 5, 6, 7])
+        np.testing.assert_array_equal(pos[1, 0], [0, 1, 2, 3, 3, 4, 4, 5, 6, 7])
+        np.testing.assert_array_equal(pos[2, 0], [0, 1, 2, 3, 4, 3, 4, 5, 6, 7])
+        assert int(delta[0]) == -2  # max position 7, seq len 10
+
+    def test_text_only_mrope_equals_plain_rope(self):
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            mrope_tables,
+            qwen_mrope_position_ids,
+        )
+        from multimodal_embeddings_tpu.models.transformer import rope_frequencies
+
+        ids = jnp.ones((2, 9), jnp.int32)
+        pos, delta = qwen_mrope_position_ids(ids, 5, None)
+        cos, sin = mrope_tables(pos, 16, 1e6, (2, 3, 3))
+        cos_ref, sin_ref = rope_frequencies(16, 9, 1e6)
+        np.testing.assert_allclose(np.asarray(cos[0]), np.asarray(cos_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sin[1]), np.asarray(sin_ref), atol=1e-6)
+        assert np.all(np.asarray(delta) == 0)
+
+    def test_cached_decode_matches_full_forward_with_image(self, tiny_qwen):
+        """Decode-step M-RoPE must account for the image position delta:
+        incremental logits equal the full recompute."""
+        model, variables = tiny_qwen
+        rng = np.random.default_rng(1)
+        prompt = rng.integers(6, 200, (1, 8)).astype(np.int32)
+        prompt[0, 2:6] = model.config.image_pad_id  # (56/28)^2 = 4 pads
+        imgs = jnp.asarray(rng.normal(size=(1, 56, 56, 3)), jnp.float32)
+        next_tok = rng.integers(6, 200, (1, 1)).astype(np.int32)
+
+        logits_p, caches, delta = model.apply(variables, jnp.asarray(prompt), imgs)
+        step_logits, _ = model.apply(
+            variables,
+            jnp.asarray(next_tok),
+            caches,
+            8,
+            delta,
+            method=model.decode_step,
+        )
+        full = np.concatenate([prompt, next_tok], axis=1)
+        logits_full, _, _ = model.apply(variables, jnp.asarray(full), imgs)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, -1]),
+            np.asarray(logits_full[:, -1]),
+            atol=2e-4,
+        )
+
+    def test_vision_rope_tables(self):
+        from multimodal_embeddings_tpu.models.qwen_vl import vision_rope_2d
+
+        cos, sin = vision_rope_2d(3, 4, 16)
+        assert cos.shape == (12, 8) and sin.shape == (12, 8)
+        # patch (0,0) has zero angles
+        np.testing.assert_allclose(np.asarray(cos[0]), 1.0)
+        np.testing.assert_allclose(np.asarray(sin[0]), 0.0)
+        # row angle half must differ between rows, col half between cols
+        assert not np.allclose(np.asarray(cos[0]), np.asarray(cos[4]))  # row 1
+        assert not np.allclose(np.asarray(cos[0]), np.asarray(cos[1]))  # col 1
