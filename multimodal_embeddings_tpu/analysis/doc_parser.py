@@ -144,14 +144,57 @@ def round_to_patch_grid(width: int, height: int, patch: int = 14, merge: int = 2
     return (max(unit, round(width / unit) * unit), max(unit, round(height / unit) * unit))
 
 
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = 28,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 1280 * 28 * 28,
+) -> Tuple[int, int]:
+    """Qwen2.5-VL native-resolution sizing (``qwen_vl_utils.smart_resize``):
+    round each side to the merged-patch factor preserving aspect ratio,
+    then scale into the [min_pixels, max_pixels] budget. Returns
+    (height, width)."""
+    import math
+
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absurd aspect ratio")
+    h_bar = max(factor, round(height / factor) * factor)
+    w_bar = max(factor, round(width / factor) * factor)
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
 class DocumentParser:
     """End-to-end page→HTML parser driving a QwenVL-family model."""
 
-    def __init__(self, model, variables, tokenizer, image_size: int = 448):
+    def __init__(
+        self,
+        model,
+        variables,
+        tokenizer,
+        image_size: int = 448,
+        dynamic_resolution: bool = False,
+        max_pixels: Optional[int] = None,
+    ):
+        """``dynamic_resolution=True`` runs the Qwen2.5-VL native-aspect
+        path: the page is smart-resized onto its own merged-patch grid
+        (aspect preserved, pixel budget ``max_pixels``, default
+        image_size²) instead of a fixed square — each distinct grid shape
+        compiles once (static shapes)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.image_size = image_size
+        self.dynamic_resolution = dynamic_resolution
+        self.max_pixels = max_pixels or image_size * image_size
 
     def build_prompt_ids(self, n_image_tokens: int, max_len: int) -> np.ndarray:
         """Chat-template prompt with image-pad placeholders spliced in."""
@@ -174,19 +217,29 @@ class DocumentParser:
         from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
 
         image = Image.open(image_path).convert("RGB")
-        # the model sees a fixed image_size x image_size input, so THAT is
-        # the resolution data-bbox coordinates live in (the notebook's
-        # image_grid_thw*14 equals the actual processed input dims)
-        input_w, input_h = round_to_patch_grid(
-            self.image_size, self.image_size,
-            self.model.config.vision.patch_size,
-            self.model.config.vision.merge_size,
-        )
-        model_img = image.resize((self.image_size, self.image_size), Image.BILINEAR)
+        unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
+        if self.dynamic_resolution:
+            # Qwen2.5-VL native resolution: the page keeps its aspect
+            # ratio on its own merged-patch grid; data-bbox coordinates
+            # live in this resolution (image_grid_thw * patch)
+            input_h, input_w = smart_resize(
+                image.height,
+                image.width,
+                factor=unit,
+                min_pixels=unit * unit,
+                max_pixels=self.max_pixels,
+            )
+        else:
+            # fixed square input (one compile for every page shape)
+            input_w, input_h = round_to_patch_grid(
+                self.image_size, self.image_size,
+                self.model.config.vision.patch_size,
+                self.model.config.vision.merge_size,
+            )
+        model_img = image.resize((input_w, input_h), Image.BILINEAR)
         arr = np.asarray(model_img, np.float32)[None] / 255.0
 
-        unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
-        n_tokens = (self.image_size // unit) ** 2
+        n_tokens = (input_h // unit) * (input_w // unit)
         # leave generation headroom inside the static KV cache
         prompt_budget = self.model.config.text.max_len - max_new_tokens
         if prompt_budget < n_tokens + 4:

@@ -275,3 +275,35 @@ class TestQwen25Fidelity:
         # row angle half must differ between rows, col half between cols
         assert not np.allclose(np.asarray(cos[0]), np.asarray(cos[4]))  # row 1
         assert not np.allclose(np.asarray(cos[0]), np.asarray(cos[1]))  # col 1
+
+
+class TestDynamicResolution:
+    def test_smart_resize(self):
+        from multimodal_embeddings_tpu.analysis.doc_parser import smart_resize
+
+        # already grid-aligned, inside budget → unchanged
+        assert smart_resize(280, 280, 28, 784, 280 * 280) == (280, 280)
+        # aspect preserved under the pixel budget
+        h, w = smart_resize(2000, 3000, 28, 784, 448 * 448)
+        assert h % 28 == 0 and w % 28 == 0
+        assert h * w <= 448 * 448
+        assert abs((w / h) - 1.5) < 0.25
+        # tiny images scale UP to min_pixels
+        h, w = smart_resize(10, 10, 28, 784, 448 * 448)
+        assert h * w >= 784
+        with pytest.raises(ValueError):
+            smart_resize(10, 9000, 28)
+
+    def test_parse_native_aspect(self, tiny_qwen, tmp_path):
+        """Dynamic resolution runs the vision tower on a NON-SQUARE grid
+        and reports the native-aspect input dims."""
+        model, variables = tiny_qwen
+        img_path = str(tmp_path / "wide.png")
+        Image.new("RGB", (300, 200), "white").save(img_path)
+        parser = DocumentParser(
+            model, variables, ByteTokenizer(), image_size=56,
+            dynamic_resolution=True,
+        )
+        html, in_h, in_w = parser.parse(img_path, max_new_tokens=6)
+        assert (in_h, in_w) == (28, 56)  # 1x2 merged grid, aspect kept
+        assert isinstance(html, str)
