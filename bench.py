@@ -102,6 +102,9 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
         embedder = MultimodalEmbedder(
             EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
         )
+    # chunk the region batch for the large parity embedder (1601-token
+    # Mllama crops at 48-wide overflow the remote compiler / HBM transients)
+    embed_chunk = 8 if (family == "mme5" and not quick) else 0
     if batch > 1:
         from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
 
@@ -109,7 +112,10 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
             detector, embedder, page_hw, num_regions=n_regions
         )
     else:
-        fused = build_fused_page_fn(detector, embedder, page_hw, num_regions=n_regions)
+        fused = build_fused_page_fn(
+            detector, embedder, page_hw, num_regions=n_regions,
+            embed_chunk=embed_chunk,
+        )
     return fused, page_hw, n_regions
 
 

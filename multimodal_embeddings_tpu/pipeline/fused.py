@@ -75,6 +75,7 @@ def build_fused_page_fn(
     embedder: MultimodalEmbedder,
     page_hw: Tuple[int, int],
     num_regions: int = 48,
+    embed_chunk: int = 0,
 ):
     """Compile the fused page function for a fixed page-shape bucket.
 
@@ -179,9 +180,36 @@ def build_fused_page_fn(
             / 255.0
         )
         if family == "mme5":
-            ids = jnp.broadcast_to(prompt_ids, (num_regions, prompt_ids.shape[1]))
-            mask = jnp.broadcast_to(prompt_mask, (num_regions, prompt_mask.shape[1]))
-            emb = emb_image_fn_model.apply(emb_vars, ids, mask, crops)
+            # the Mllama processor feeds CLIP-normalized pixels
+            from multimodal_embeddings_tpu.models.mllama_processor import (
+                IMAGE_MEAN,
+                IMAGE_STD,
+            )
+
+            crops = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+                IMAGE_STD, crops.dtype
+            )
+
+            def embed_batch(batch_crops):
+                n = batch_crops.shape[0]
+                ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+                mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+                return emb_image_fn_model.apply(emb_vars, ids, mask, batch_crops)
+
+            if embed_chunk and embed_chunk < num_regions:
+                # large parity embedders (Mllama vision = 1601 tokens/crop)
+                # run the region batch in chunks under lax.map: the (N, H,
+                # Lv, Lv) attention transient and the compiled program stay
+                # single-chunk sized (48-at-once overflowed the remote
+                # compiler)
+                assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
+                chunks = crops.reshape(
+                    -1, embed_chunk, *crops.shape[1:]
+                )
+                emb = jax.lax.map(embed_batch, chunks)
+                emb = emb.reshape(num_regions, -1)
+            else:
+                emb = embed_batch(crops)
         else:
             emb = emb_image_fn_model.apply(
                 emb_vars, crops, method=emb_image_fn_model.encode_image

@@ -162,3 +162,37 @@ class TestDeviceLetterbox:
                 np.testing.assert_allclose(
                     rd["boxes_original"], rh["boxes_original"], atol=1e-3
                 )
+
+
+class TestMmE5Fused:
+    def test_embed_chunking_matches_unchunked(self):
+        """The lax.map-chunked mme5 region embedding must equal the
+        single-batch path (same fused program semantics, smaller
+        transients)."""
+        from multimodal_embeddings_tpu.config import DetectorConfig, EmbedderConfig
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+        from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
+
+        det = LayoutDetector(
+            DetectorConfig(image_size=128, variant="n", grid_configs=((2, 2),)),
+            dtype=jnp.float32,
+        )
+        emb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        page = np.random.default_rng(0).integers(
+            0, 255, (400, 320, 3)
+        ).astype(np.uint8)
+        fn_whole = build_fused_page_fn(det, emb, (400, 320), num_regions=8)
+        fn_chunked = build_fused_page_fn(
+            det, emb, (400, 320), num_regions=8, embed_chunk=4
+        )
+        a = fn_whole(jnp.asarray(page))
+        b = fn_chunked(jnp.asarray(page))
+        np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+        np.testing.assert_allclose(
+            np.asarray(a.embeddings), np.asarray(b.embeddings), atol=1e-5
+        )
