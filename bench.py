@@ -98,6 +98,15 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
             EmbedderConfig(family="mme5", dtype="bfloat16"),
             model_config=MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b(),
         )
+        if not quick:
+            # store the 2B parameters in bf16: 8GB of f32 params plus the
+            # fused program's activations overflow one chip's 16GB HBM
+            embedder.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == np.float32
+                else x,
+                embedder.variables,
+            )
     else:
         embedder = MultimodalEmbedder(
             EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg

@@ -142,6 +142,20 @@ def sdpa(
             logits = jnp.where(mask, logits, -1e30)
         else:
             logits = logits + mask
+    if pref == jnp.bfloat16:
+        # Materialize the (B, H, L, L) tensor ONCE in bf16: the f32 softmax
+        # output otherwise roots the producer fusion at full width (trace-
+        # measured ~2.7 ms/page/layer at ViT-448 scale). Normalization
+        # happens after the PV matmul — exp is stable (max-subtracted) and
+        # the sum accumulates in f32 over the bf16 weights.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p16 = jnp.exp(logits - m).astype(v.dtype)
+        denom = jnp.sum(p16, axis=-1, dtype=jnp.float32)  # (B, H, L)
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", p16, v, preferred_element_type=jnp.float32
+        )
+        out = out / denom.transpose(0, 2, 1)[..., None]
+        return out.astype(v.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
 

@@ -104,3 +104,49 @@ class TestFlashV2:
         want1 = sdpa(q[1:], k[1:], v[1:], mask=mask.astype(bool))
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want0[0]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want1[0]), atol=2e-5)
+
+
+class TestBf16LogitsPath:
+    def test_bf16_unnormalized_exp_matches_f32_softmax(self):
+        """The bf16 fast path (unnormalized bf16 exp, post-matmul
+        normalization) must track the f32-softmax reference closely."""
+        import os
+
+        import numpy as np
+
+        from multimodal_embeddings_tpu.models.transformer import sdpa
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 96, 4, 32)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(2, 96, 4, 32)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(2, 96, 4, 32)), jnp.bfloat16)
+        fast = np.asarray(sdpa(q, k, v), np.float32)
+        os.environ["MMTPU_F32_LOGITS"] = "1"
+        try:
+            ref = np.asarray(sdpa(q, k, v), np.float32)
+        finally:
+            del os.environ["MMTPU_F32_LOGITS"]
+        # cosine per vector
+        num = (fast * ref).sum(-1)
+        den = np.linalg.norm(fast, axis=-1) * np.linalg.norm(ref, axis=-1)
+        assert (num / den.clip(1e-9)).min() > 0.995
+        np.testing.assert_allclose(fast, ref, atol=0.08)
+
+    def test_bf16_path_respects_mask_and_causal(self):
+        import numpy as np
+
+        from multimodal_embeddings_tpu.models.transformer import sdpa
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 16, 2, 16)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 16, 2, 16)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 16, 2, 16)), jnp.bfloat16)
+        # masking out the second half of keys == attending to the first half
+        mask = jnp.arange(16)[None, None, None, :] < 8
+        got = np.asarray(sdpa(q, k, v, mask=mask), np.float32)
+        want = np.asarray(sdpa(q[:, :], k[:, :8], v[:, :8]), np.float32)
+        np.testing.assert_allclose(got, want, atol=0.02)
+        causal = np.asarray(sdpa(q, k, v, causal=True), np.float32)
+        # first query position attends only to itself
+        first = np.asarray(sdpa(q[:, :1], k[:, :1], v[:, :1]), np.float32)
+        np.testing.assert_allclose(causal[:, 0], first[:, 0], atol=0.02)
