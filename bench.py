@@ -128,7 +128,15 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
     return fused, page_hw, n_regions
 
 
-def run_bench(pages: int, quick: bool, batch: int = 1, family: str = "siglip") -> dict:
+def run_bench(
+    pages: int,
+    quick: bool,
+    batch: int = 1,
+    family: str = "siglip",
+    profile_dir: str | None = None,
+) -> dict:
+    import contextlib
+
     import jax
 
     fused, page_hw, n_regions = build_pipeline(quick, batch=batch, family=family)
@@ -149,11 +157,19 @@ def run_bench(pages: int, quick: bool, batch: int = 1, family: str = "siglip") -
     jax.block_until_ready(result)
 
     iters = max(1, pages // batch)
-    start = time.perf_counter()
-    for i in range(iters):
-        result = fused(page_dev)
-    jax.block_until_ready(result)
-    elapsed = time.perf_counter() - start
+    # --profile DIR: capture an xplane trace of the timed loop; feed the
+    # result to utils/trace_analysis.py for the per-op cost worklist
+    ctx = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        start = time.perf_counter()
+        for i in range(iters):
+            result = fused(page_dev)
+        jax.block_until_ready(result)
+        elapsed = time.perf_counter() - start
 
     pages_per_sec = iters * batch / elapsed
     return {
@@ -277,6 +293,12 @@ def main() -> None:
         "2B parity architecture; writes BENCH_MME5.json)",
     )
     parser.add_argument("--measure-cpu-baseline", action="store_true")
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the timed loop into DIR",
+    )
     args = parser.parse_args()
     _setup_jax()
 
@@ -286,7 +308,13 @@ def main() -> None:
         _cpu_baseline(baseline_path)
         return
 
-    info = run_bench(args.pages, args.quick, batch=args.batch, family=args.family)
+    info = run_bench(
+        args.pages,
+        args.quick,
+        batch=args.batch,
+        family=args.family,
+        profile_dir=args.profile,
+    )
 
     vs_baseline = None
     if os.path.exists(baseline_path) and not args.quick and args.family == "siglip":

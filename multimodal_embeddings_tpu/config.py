@@ -142,6 +142,9 @@ class EmbedderConfig:
     dtype: str = "bfloat16"
     weights_path: Optional[str] = None
     prompt: str = "<|image|><|begin_of_text|> Represent the given image."
+    # int8 weight-only storage for the mme5 family (models/quantized.py):
+    # the 11B layout fits one 16GB chip at ~11GB instead of ~22GB bf16
+    quantize: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,6 +69,16 @@ class MultimodalEmbedder:
 
         if config.family == "mme5":
             self.model_config = model_config or MllamaConfig.mme5_11b()
+            if config.quantize and not self.model_config.quantize:
+                import dataclasses as _dc
+
+                self.model_config = _dc.replace(self.model_config, quantize=True)
+            if self.model_config.quantize and mesh is not None:
+                raise ValueError(
+                    "the int8 serving path is single-chip (quantized params "
+                    "carry no TP axis metadata); use bf16 + tensor "
+                    "parallelism on meshes"
+                )
             self.model = MmE5Embedder(self.model_config, dtype=dtype)
             self.image_size = self.model_config.vision.image_size
             self.max_tiles = self.model_config.vision.max_tiles
@@ -98,7 +108,24 @@ class MultimodalEmbedder:
             )
             self._init_args = example
 
-        variables = deterministic_init_multi(self.model, self._init_args, seed=seed)
+        quantized = config.family == "mme5" and self.model_config.quantize
+        if quantized:
+            # init/load the f32 twin, then convert: Int8DenseGeneral params
+            # initialize to zeros — real values only exist post-conversion
+            import dataclasses as _dc
+
+            from multimodal_embeddings_tpu.models.quantized import (
+                quantize_dense_tree,
+            )
+
+            twin = MmE5Embedder(
+                _dc.replace(self.model_config, quantize=False), dtype=dtype
+            )
+            variables = deterministic_init_multi(twin, self._init_args, seed=seed)
+        else:
+            variables = deterministic_init_multi(
+                self.model, self._init_args, seed=seed
+            )
         if config.weights_path:
             variables = load_checkpoint(config.weights_path, variables)
             logger.info("loaded embedder weights from %s", config.weights_path)
@@ -107,6 +134,16 @@ class MultimodalEmbedder:
                 "embedder (%s) running with deterministic random weights",
                 config.family,
             )
+        if quantized:
+            rng = jax.random.key(0)
+            target = jax.eval_shape(
+                lambda: self.model.init({"params": rng}, *self._init_args)
+            )
+            variables = {
+                "params": quantize_dense_tree(
+                    psharding.unbox(variables)["params"], target["params"]
+                )
+            }
         if mesh is not None:
             self.variables = psharding.shard_variables(variables, mesh)
         else:

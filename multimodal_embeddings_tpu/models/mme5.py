@@ -92,6 +92,10 @@ class MllamaTextConfig:
 class MllamaConfig:
     vision: MllamaVisionConfig = dataclasses.field(default_factory=MllamaVisionConfig)
     text: MllamaTextConfig = dataclasses.field(default_factory=MllamaTextConfig)
+    # int8 weight-only serving (models/quantized.py): Dense layers store
+    # int8 + per-channel scales; ~11GB for the 11B layout → fits one v5e
+    # chip (bf16 at ~22GB does not)
+    quantize: bool = False
 
     @classmethod
     def tiny(cls) -> "MllamaConfig":
@@ -122,6 +126,12 @@ class MllamaConfig:
     def mme5_11b(cls) -> "MllamaConfig":
         """The full mmE5-mllama-11b-instruct layout."""
         return cls()
+
+    @classmethod
+    def mme5_11b_int8(cls) -> "MllamaConfig":
+        """The 11B layout with int8 weight storage: the single-chip
+        serving config (11GB params + activations fit 16GB HBM)."""
+        return cls(quantize=True)
 
     @classmethod
     def mme5_2b(cls) -> "MllamaConfig":
@@ -221,6 +231,7 @@ class MllamaVisionEncoder(nn.Module):
     config: MllamaVisionConfig
     out_dim: int
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(
@@ -293,6 +304,7 @@ class MllamaVisionEncoder(nn.Module):
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name=f"local{i}",
             )(x, mask=attn_mask)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
@@ -309,6 +321,7 @@ class MllamaVisionEncoder(nn.Module):
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name=f"global{i}",
             )(x, mask=attn_mask)
 
@@ -338,6 +351,7 @@ class MllamaVisionEncoder(nn.Module):
 class MllamaTextModel(nn.Module):
     config: MllamaTextConfig
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(
@@ -376,6 +390,7 @@ class MllamaTextModel(nn.Module):
                     head_dim=cfg.head_dim,
                     mlp_hidden=cfg.mlp_hidden,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name=f"cross{i}",
                 )(x, vision_states, cross_mask=cross_mask)
             else:
@@ -387,6 +402,7 @@ class MllamaTextModel(nn.Module):
                     max_len=cfg.max_len,
                     rope_theta=cfg.rope_theta,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name=f"layer{i}",
                 )(x, mask=pad_mask)
         return RMSNorm(dtype=self.dtype, name="final_norm")(x)
@@ -400,9 +416,14 @@ class MmE5Embedder(nn.Module):
 
     def setup(self):
         self.vision_model = MllamaVisionEncoder(
-            self.config.vision, self.config.text.hidden, self.dtype
+            self.config.vision,
+            self.config.text.hidden,
+            self.dtype,
+            quantize=self.config.quantize,
         )
-        self.text_model = MllamaTextModel(self.config.text, self.dtype)
+        self.text_model = MllamaTextModel(
+            self.config.text, self.dtype, quantize=self.config.quantize
+        )
 
     def __call__(
         self,

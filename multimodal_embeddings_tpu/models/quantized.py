@@ -1,0 +1,117 @@
+"""Weight-only int8 serving modules + f32→int8 tree conversion.
+
+The reference serves ``mmE5-mllama-11b-instruct`` in bf16 across GPUs
+(``deprecated_package/embedder.py:73-83``); one 16GB v5e chip cannot hold
+11B bf16 (~22GB). This module provides the single-chip story: Dense
+layers whose parameters are stored as int8 with per-output-channel f32
+scales (≈11GB for 11B) and dequantized inside the matmul
+(``kernels/quantization.py`` Pallas kernel on TPU — the bf16 weight copy
+never exists in HBM).
+
+``quantize_dense_tree`` converts any trained/ported f32 tree into the
+quantized model's structure, so checkpoint→int8 serving is one call.
+Quantized modules are serving-only (no gradient path through the int8
+storage); training happens in the f32/bf16 models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from multimodal_embeddings_tpu.kernels.quantization import (
+    QTensor,
+    int8_apply,
+    quantize_tensor,
+)
+
+
+def _as_tuple(v) -> Tuple[int, ...]:
+    return (v,) if isinstance(v, int) else tuple(v)
+
+
+class Int8DenseGeneral(nn.Module):
+    """Drop-in for ``nn.DenseGeneral(use_bias=...)`` with int8 weight
+    storage. The kernel is stored flattened to ``(in, out)`` int8 plus a
+    ``(1, out)`` f32 scale; outputs are reshaped to ``features``.
+
+    Contraction axes must be the trailing axes of ``x`` (matching every
+    call site in ``transformer.py``)."""
+
+    features: Union[int, Sequence[int]]
+    axis: Union[int, Sequence[int]] = -1
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        axes = _as_tuple(self.axis)
+        n_axes = len(axes)
+        assert axes == tuple(range(-n_axes, 0)), (
+            f"contraction axes must be trailing, got {axes}"
+        )
+        feats = _as_tuple(self.features)
+        in_f = int(np.prod(x.shape[x.ndim - n_axes :]))
+        out_f = int(np.prod(feats))
+        q = self.param(
+            "kernel_q", lambda _k, s: jnp.zeros(s, jnp.int8), (in_f, out_f)
+        )
+        scale = self.param("kernel_scale", nn.initializers.ones, (1, out_f))
+        lead = x.shape[: x.ndim - n_axes]
+        y = int8_apply(
+            x.astype(self.dtype).reshape(*lead, in_f),
+            QTensor(q=q, scale=jnp.asarray(scale)),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (out_f,))
+            y = y + jnp.asarray(bias, y.dtype)
+        return y.reshape(*lead, *feats)
+
+
+def quantize_dense_tree(src_params, target_struct):
+    """Convert an f32/bf16 parameter tree into a quantized model's
+    structure.
+
+    ``target_struct`` is the quantized model's param tree (or eval_shape
+    thereof): wherever it holds ``kernel_q``/``kernel_scale`` and the
+    source holds ``kernel``, the source kernel is reshaped to the flat
+    ``(in, out)`` layout and symmetrically quantized per output channel;
+    every other leaf is carried over from the source.
+    """
+
+    def convert(src: dict, tgt: dict) -> dict:
+        out = {}
+        if "kernel_q" in tgt and "kernel" in src:
+            w = jnp.asarray(src["kernel"])
+            q_shape = tuple(tgt["kernel_q"].shape)
+            qt = quantize_tensor(w.reshape(q_shape), contract_axes=(0,))
+            out["kernel_q"] = qt.q
+            out["kernel_scale"] = qt.scale
+            for name, leaf in src.items():
+                if name != "kernel":
+                    out[name] = leaf
+            return out
+        for name, tgt_leaf in tgt.items():
+            src_leaf = src[name]
+            if isinstance(tgt_leaf, dict):
+                out[name] = convert(src_leaf, tgt_leaf)
+            else:
+                out[name] = src_leaf
+        return out
+
+    def plain(tree):
+        if hasattr(tree, "items"):
+            return {k: plain(v) for k, v in tree.items()}
+        return tree
+
+    return convert(plain(src_params), plain(target_struct))
+
+
+def param_bytes(params) -> int:
+    """Total parameter storage in bytes (int8 counts 1, bf16 2, f32 4)."""
+    leaves = jax.tree.leaves(params)
+    return sum(int(np.prod(l.shape)) * l.dtype.itemsize for l in leaves)

@@ -171,6 +171,7 @@ class Attention(nn.Module):
     rope_theta: float = 500000.0
     max_len: int = 4096
     dtype: Any = jnp.float32
+    quantize: bool = False  # int8 weight storage (serving; models/quantized.py)
 
     @nn.compact
     def __call__(
@@ -182,14 +183,25 @@ class Attention(nn.Module):
     ):
         kv = x if kv is None else kv
         kvh = self.num_kv_heads or self.num_heads
-        dense = lambda feat, name, axes: nn.DenseGeneral(  # noqa: E731
-            features=feat,
-            axis=-1,
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED,) + axes),
-            dtype=self.dtype,
-            name=name,
-        )
+        if self.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+                features=feat, axis=-1, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feat, name, axes: nn.DenseGeneral(  # noqa: E731
+                features=feat,
+                axis=-1,
+                use_bias=False,
+                kernel_init=nn.with_logical_partitioning(
+                    _dense_init(), (EMBED,) + axes
+                ),
+                dtype=self.dtype,
+                name=name,
+            )
         q = dense((self.num_heads, self.head_dim), "q", (HEADS, HEAD_DIM))(x)
         k = dense((kvh, self.head_dim), "k", (KV_HEADS, HEAD_DIM))(kv)
         v = dense((kvh, self.head_dim), "v", (KV_HEADS, HEAD_DIM))(kv)
@@ -201,6 +213,14 @@ class Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
         out = sdpa(q, k, v, mask=mask, causal=causal)
+        if self.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            return Int8DenseGeneral(
+                features=x.shape[-1], axis=(-2, -1), dtype=self.dtype, name="o"
+            )(out)
         return nn.DenseGeneral(
             features=x.shape[-1],
             axis=(-2, -1),
@@ -216,51 +236,56 @@ class Attention(nn.Module):
 class SwiGLU(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
-        gate = nn.Dense(
-            self.hidden_dim,
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
-            dtype=self.dtype,
-            name="gate",
-        )(x)
-        up = nn.Dense(
-            self.hidden_dim,
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
-            dtype=self.dtype,
-            name="up",
-        )(x)
-        return nn.Dense(
-            x.shape[-1],
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (MLP, EMBED)),
-            dtype=self.dtype,
-            name="down",
-        )(nn.silu(gate) * up)
+        if self.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+                features=feat, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feat, name, axes: nn.Dense(  # noqa: E731
+                feat,
+                use_bias=False,
+                kernel_init=nn.with_logical_partitioning(_dense_init(), axes),
+                dtype=self.dtype,
+                name=name,
+            )
+        gate = dense(self.hidden_dim, "gate", (EMBED, MLP))(x)
+        up = dense(self.hidden_dim, "up", (EMBED, MLP))(x)
+        return dense(x.shape[-1], "down", (MLP, EMBED))(nn.silu(gate) * up)
 
 
 class GeluMLP(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(
-            self.hidden_dim,
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (EMBED, MLP)),
-            dtype=self.dtype,
-            name="fc1",
-        )(x)
+        if self.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+                features=feat, use_bias=True, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feat, name, axes: nn.Dense(  # noqa: E731
+                feat,
+                kernel_init=nn.with_logical_partitioning(_dense_init(), axes),
+                dtype=self.dtype,
+                name=name,
+            )
+        h = dense(self.hidden_dim, "fc1", (EMBED, MLP))(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(
-            x.shape[-1],
-            kernel_init=nn.with_logical_partitioning(_dense_init(), (MLP, EMBED)),
-            dtype=self.dtype,
-            name="fc2",
-        )(h)
+        return dense(x.shape[-1], "fc2", (MLP, EMBED))(h)
 
 
 class EncoderBlock(nn.Module):
@@ -269,6 +294,7 @@ class EncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -278,11 +304,17 @@ class EncoderBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=d // self.num_heads,
             dtype=self.dtype,
+            quantize=self.quantize,
             name="attn",
         )(h, mask=mask)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = GeluMLP(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        h = GeluMLP(
+            int(d * self.mlp_ratio),
+            dtype=self.dtype,
+            quantize=self.quantize,
+            name="mlp",
+        )(h)
         return x + h
 
 
@@ -293,6 +325,7 @@ class GatedEncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -304,11 +337,17 @@ class GatedEncoderBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=d // self.num_heads,
             dtype=self.dtype,
+            quantize=self.quantize,
             name="attn",
         )(h, mask=mask)
         x = x + jnp.tanh(gate_attn) * h
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = GeluMLP(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        h = GeluMLP(
+            int(d * self.mlp_ratio),
+            dtype=self.dtype,
+            quantize=self.quantize,
+            name="mlp",
+        )(h)
         return x + jnp.tanh(gate_ffn) * h
 
 
@@ -322,6 +361,7 @@ class LlamaBlock(nn.Module):
     max_len: int = 4096
     rope_theta: float = 500000.0
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -334,11 +374,14 @@ class LlamaBlock(nn.Module):
             max_len=self.max_len,
             rope_theta=self.rope_theta,
             dtype=self.dtype,
+            quantize=self.quantize,
             name="attn",
         )(h, mask=mask, causal=True)
         x = x + h
         h = RMSNorm(dtype=self.dtype, name="mlp_norm")(x)
-        h = SwiGLU(self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        h = SwiGLU(
+            self.mlp_hidden, dtype=self.dtype, quantize=self.quantize, name="mlp"
+        )(h)
         return x + h
 
 
@@ -351,6 +394,7 @@ class CrossAttentionBlock(nn.Module):
     head_dim: int
     mlp_hidden: int
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(
@@ -368,11 +412,14 @@ class CrossAttentionBlock(nn.Module):
             head_dim=self.head_dim,
             use_qk_norm=True,
             dtype=self.dtype,
+            quantize=self.quantize,
             name="cross_attn",
         )(h, kv=vision_states, mask=cross_mask)
         x = x + jnp.tanh(attn_gate) * h
         h = RMSNorm(dtype=self.dtype, name="mlp_norm")(x)
-        h = SwiGLU(self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        h = SwiGLU(
+            self.mlp_hidden, dtype=self.dtype, quantize=self.quantize, name="mlp"
+        )(h)
         return x + jnp.tanh(mlp_gate) * h
 
 
