@@ -111,9 +111,58 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
         embedder = MultimodalEmbedder(
             EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
         )
-    # chunk the region batch for the large parity embedder (1601-token
-    # Mllama crops at 48-wide overflow the remote compiler / HBM transients)
-    embed_chunk = 8 if (family == "mme5" and not quick) else 0
+    if family == "mme5" and not quick:
+        # two-program split: the combined detect+mme5-embed program
+        # overflows the tunnel's remote compiler even with the embed batch
+        # chunked under lax.map (CLAUDE.md: "Broken pipe" on
+        # /remote_compile), so the page runs as ONE fused detect+crop
+        # program plus 48/chunk executions of one compiled embed program.
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            IMAGE_MEAN,
+            IMAGE_STD,
+        )
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            PageResult,
+            build_fused_detect_fn,
+        )
+
+        emb_size = embedder.image_size
+        detect_fn = build_fused_detect_fn(
+            detector, page_hw, num_regions=n_regions, emb_size=emb_size
+        )
+        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+            [embedder.config.prompt], embedder.text_len
+        )
+        prompt_ids = jnp.asarray(prompt_ids)
+        prompt_mask = jnp.asarray(prompt_mask)
+        emb_model = embedder.model
+        emb_vars = embedder.variables
+        chunk = 8
+        assert n_regions % chunk == 0
+
+        @jax.jit
+        def embed_fn(crops):
+            # the Mllama processor feeds CLIP-normalized pixels
+            c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+                IMAGE_STD, crops.dtype
+            )
+            n = c.shape[0]
+            ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+            mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+            return emb_model.apply(emb_vars, ids, mask, c)
+
+        def fused(page):
+            boxes, scores, classes, valid, crops = detect_fn(page)
+            embs = [
+                embed_fn(crops[i : i + chunk])
+                for i in range(0, n_regions, chunk)
+            ]
+            return PageResult(
+                boxes, scores, classes, valid, jnp.concatenate(embs)
+            )
+
+        return fused, page_hw, n_regions
+
     if batch > 1:
         from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
 
@@ -122,8 +171,7 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
         )
     else:
         fused = build_fused_page_fn(
-            detector, embedder, page_hw, num_regions=n_regions,
-            embed_chunk=embed_chunk,
+            detector, embedder, page_hw, num_regions=n_regions
         )
     return fused, page_hw, n_regions
 
@@ -289,8 +337,10 @@ def main() -> None:
         "--family",
         choices=("siglip", "mme5"),
         default="siglip",
-        help="embedder family: siglip (headline) or mme5 (Mllama-layout "
-        "2B parity architecture; writes BENCH_MME5.json)",
+        help="embedder family: siglip (headline, one fused XLA program) or "
+        "mme5 (Mllama-layout 2B parity architecture; fused detect+crop "
+        "program + compiled embed chunks — the combined program exceeds "
+        "the remote compiler; writes BENCH_MME5.json)",
     )
     parser.add_argument("--measure-cpu-baseline", action="store_true")
     parser.add_argument(
@@ -330,8 +380,9 @@ def main() -> None:
                 json.dump(
                     {
                         "metric": "pages/sec/chip (detect 30 views @1024 "
-                        "doclayout-yolov10m + embed 48 regions @560 "
-                        "mme5-2B Mllama-layout bf16), fused",
+                        "doclayout-yolov10m-glcrm + embed 48 regions @560 "
+                        "mme5-2B Mllama-layout bf16), fused detect+crop "
+                        "program + compiled embed chunks",
                         "value": round(info["pages_per_sec"], 4),
                         "unit": "pages/sec/chip",
                         "measured": time.strftime("%Y-%m-%d"),

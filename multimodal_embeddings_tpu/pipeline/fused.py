@@ -70,32 +70,20 @@ def view_slice_bounds_for_page(
     return bounds
 
 
-def build_fused_page_fn(
-    detector: LayoutDetector,
-    embedder: MultimodalEmbedder,
-    page_hw: Tuple[int, int],
-    num_regions: int = 48,
-    embed_chunk: int = 0,
-):
-    """Compile the fused page function for a fixed page-shape bucket.
-
-    Returns ``fn(page_uint8) -> PageResult`` (jitted, reusable for every
-    page of that shape).
-    """
+def _make_detect_crop(detector: LayoutDetector, page_hw, num_regions, emb_size):
+    """Shared traced section: page → views → batched detect → page-coord
+    NMS → top-K boxes → on-device region crops. Returned fn is meant to be
+    closed over by a jitted caller."""
     height, width = page_hw
     view_bounds = view_slice_bounds_for_page(
         width, height, detector.config.grid_configs, detector.config.overlap_percentage
     )
     det_size = detector.config.image_size
-    emb_size = embedder.image_size
     det_model = detector.model
     det_vars = detector.variables
-    emb_image_fn_model = embedder.model
-    emb_vars = embedder.variables
     conf = detector.config.conf_threshold
     iou = detector.config.iou_threshold
     max_det = detector.config.max_detections
-    family = embedder.config.family
 
     # per-view scale from detector-input pixels back to page pixels
     vb = np.asarray(view_bounds, np.float32)
@@ -104,15 +92,7 @@ def build_fused_page_fn(
     ox = jnp.asarray(vb[:, 0])
     oy = jnp.asarray(vb[:, 1])
 
-    if family == "mme5":
-        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
-            [embedder.config.prompt], embedder.text_len
-        )
-        prompt_ids = jnp.asarray(prompt_ids)
-        prompt_mask = jnp.asarray(prompt_mask)
-
-    @jax.jit
-    def fused(page: jnp.ndarray) -> PageResult:
+    def detect_and_crop(page: jnp.ndarray):
         # bf16 payloads through the resampling stages: halves the HBM
         # traffic of the page-sized gathers/matmuls; weight rounding stays
         # below one uint8 LSB (models compute in bf16 anyway)
@@ -167,9 +147,8 @@ def build_fused_page_fn(
         top_classes = cand_classes[sel_orig]
         top_valid = top_scores > 0
 
-        # 4-5. crop regions from the full-res page (row-gather + MXU
-        # interpolation matmul — per-pixel gathers profiled 340ms/page) and
-        # embed in one batch
+        # 4. crop regions from the full-res page (row-gather + MXU
+        # interpolation matmul — per-pixel gathers profiled 340ms/page)
         crops = (
             crop_and_resize_mxu(
                 pagef,
@@ -178,6 +157,55 @@ def build_fused_page_fn(
                 compute_dtype=jnp.bfloat16,
             )
             / 255.0
+        )
+        return top_boxes, top_scores, top_classes, top_valid, crops
+
+    return detect_and_crop
+
+
+def build_fused_detect_fn(
+    detector: LayoutDetector,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+    emb_size: int = 448,
+):
+    """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
+    embedding forward: the two-program serving split for embedders whose
+    combined program exceeds the remote compiler (e.g. the 1601-token
+    Mllama vision tower at 48 crops — CLAUDE.md's documented limit)."""
+    detect_and_crop = _make_detect_crop(detector, page_hw, num_regions, emb_size)
+    return jax.jit(detect_and_crop)
+
+
+def build_fused_page_fn(
+    detector: LayoutDetector,
+    embedder: MultimodalEmbedder,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+    embed_chunk: int = 0,
+):
+    """Compile the fused page function for a fixed page-shape bucket.
+
+    Returns ``fn(page_uint8) -> PageResult`` (jitted, reusable for every
+    page of that shape).
+    """
+    emb_size = embedder.image_size
+    emb_image_fn_model = embedder.model
+    emb_vars = embedder.variables
+    family = embedder.config.family
+    detect_and_crop = _make_detect_crop(detector, page_hw, num_regions, emb_size)
+
+    if family == "mme5":
+        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+            [embedder.config.prompt], embedder.text_len
+        )
+        prompt_ids = jnp.asarray(prompt_ids)
+        prompt_mask = jnp.asarray(prompt_mask)
+
+    @jax.jit
+    def fused(page: jnp.ndarray) -> PageResult:
+        top_boxes, top_scores, top_classes, top_valid, crops = detect_and_crop(
+            page
         )
         if family == "mme5":
             # the Mllama processor feeds CLIP-normalized pixels

@@ -196,3 +196,64 @@ class TestMmE5Fused:
         np.testing.assert_allclose(
             np.asarray(a.embeddings), np.asarray(b.embeddings), atol=1e-5
         )
+
+    def test_two_program_split_matches_fused(self):
+        """detect+crop program + separate embed chunks (the serving split
+        for embedders whose combined program exceeds the remote compiler)
+        must reproduce the single fused program's outputs."""
+        from multimodal_embeddings_tpu.config import DetectorConfig, EmbedderConfig
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            IMAGE_MEAN,
+            IMAGE_STD,
+        )
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_fused_detect_fn,
+            build_fused_page_fn,
+        )
+        import jax
+
+        det = LayoutDetector(
+            DetectorConfig(image_size=128, variant="n", grid_configs=((2, 2),)),
+            dtype=jnp.float32,
+        )
+        emb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        page = np.random.default_rng(1).integers(
+            0, 255, (400, 320, 3)
+        ).astype(np.uint8)
+        fn_fused = build_fused_page_fn(det, emb, (400, 320), num_regions=8)
+        ref = fn_fused(jnp.asarray(page))
+
+        detect_fn = build_fused_detect_fn(
+            det, (400, 320), num_regions=8, emb_size=emb.image_size
+        )
+        ids, mask = emb.tokenizer.encode_batch([emb.config.prompt], emb.text_len)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+        @jax.jit
+        def embed_fn(crops):
+            c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+                IMAGE_STD, crops.dtype
+            )
+            n = c.shape[0]
+            return emb.model.apply(
+                emb.variables,
+                jnp.broadcast_to(ids, (n, ids.shape[1])),
+                jnp.broadcast_to(mask, (n, mask.shape[1])),
+                c,
+            )
+
+        boxes, scores, classes, valid, crops = detect_fn(jnp.asarray(page))
+        embs = jnp.concatenate(
+            [embed_fn(crops[i : i + 4]) for i in range(0, 8, 4)]
+        )
+        np.testing.assert_array_equal(np.asarray(ref.boxes), np.asarray(boxes))
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(valid))
+        np.testing.assert_allclose(
+            np.asarray(ref.embeddings), np.asarray(embs), atol=1e-5
+        )
