@@ -136,12 +136,20 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
         prompt_ids = jnp.asarray(prompt_ids)
         prompt_mask = jnp.asarray(prompt_mask)
         emb_model = embedder.model
-        emb_vars = embedder.variables
         chunk = 8
         assert n_regions % chunk == 0
 
+        # Params must be jit ARGUMENTS, not closure constants: closed-over
+        # arrays are inlined into the HLO, and 4GB of bf16 weights in the
+        # program text stalls serialization/hashing for tens of minutes
+        # and overloads the remote compiler. Upload once through numpy
+        # (cross-backend device_put over the tunnel hangs — CLAUDE.md).
+        emb_vars_dev = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), embedder.variables
+        )
+
         @jax.jit
-        def embed_fn(crops):
+        def embed_fn(variables, crops):
             # the Mllama processor feeds CLIP-normalized pixels
             c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
                 IMAGE_STD, crops.dtype
@@ -149,12 +157,12 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
             n = c.shape[0]
             ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
             mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
-            return emb_model.apply(emb_vars, ids, mask, c)
+            return emb_model.apply(variables, ids, mask, c)
 
         def fused(page):
             boxes, scores, classes, valid, crops = detect_fn(page)
             embs = [
-                embed_fn(crops[i : i + chunk])
+                embed_fn(emb_vars_dev, crops[i : i + chunk])
                 for i in range(0, n_regions, chunk)
             ]
             return PageResult(
