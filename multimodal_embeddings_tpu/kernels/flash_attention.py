@@ -45,7 +45,11 @@ def _flash_kernel(
     l = k_ref.shape[1]
     n_kblocks = l // block_k
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, Dk)
+    # Dots run in the INPUT precision (bf16 inputs → bf16 MXU mode with f32
+    # accumulation; an f32 upcast before the dot forces the 4×-slower f32
+    # MXU path). sm_scale is applied to the f32 scores, not to bf16 q.
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0].astype(mxu_dtype)  # (BQ, Dk)
     valid_len = len_ref[pl.program_id(0), 0]
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -58,9 +62,11 @@ def _flash_kernel(
 
     def body(kb, carry):
         m_prev, s_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(mxu_dtype)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(mxu_dtype)
+        scores = (
+            jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        )  # (BQ, BK) f32
 
         k_positions = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1
@@ -75,7 +81,7 @@ def _flash_kernel(
         p = jnp.exp(scores - m_new)
         s_new = s_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * correction + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
         )
         return m_new, s_new, acc
 
@@ -192,18 +198,22 @@ def _flash_kernel_v2(
     n_qblocks = l // block_q
     n_kblocks = l // block_k
     valid_len = len_ref[pl.program_id(0), 0]
+    # bf16 inputs → bf16 MXU dots with f32 accumulation (see _flash_kernel)
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
     def q_body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(mxu_dtype)
         q_positions = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
 
         def k_body(kb, carry):
             m_prev, s_prev, acc = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(mxu_dtype)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(mxu_dtype)
+            scores = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+            )
             k_positions = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
@@ -215,7 +225,9 @@ def _flash_kernel_v2(
             correction = jnp.exp(m_prev - m_new)
             p = jnp.exp(scores - m_new)
             s_new = s_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * correction + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            acc = acc * correction + jnp.dot(
+                p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+            )
             return m_new, s_new, acc
 
         if causal:
