@@ -1,0 +1,66 @@
+"""Pallas direct 3×3 conv kernel (spatial-on-lanes) vs the lax.conv oracle.
+
+Targets the DocLayout-YOLO backbone's hot low-channel convs
+(``kernels/conv.py``); interpret mode on the CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_embeddings_tpu.kernels.conv import (
+    conv3x3_nchw,
+    conv3x3_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "n,c,co,h,w",
+    [(2, 16, 8, 24, 128), (1, 8, 16, 16, 256), (3, 4, 4, 9, 128)],
+)
+def test_conv3x3_matches_lax(n, c, co, h, w):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, c, h, w)).astype(np.float32))
+    kw = jnp.asarray(rng.normal(size=(co, c, 3, 3)).astype(np.float32) * 0.1)
+    got = conv3x3_nchw(x, kw, interpret=True)
+    want = conv3x3_reference(x, kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv3x3_bias_silu_epilogue():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 128)).astype(np.float32))
+    kw = jnp.asarray(rng.normal(size=(8, 8, 3, 3)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    got = conv3x3_nchw(x, kw, b, act="silu", interpret=True)
+    want = conv3x3_reference(x, kw, b, act="silu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv3x3_edge_zero_padding():
+    """An input with mass only at the borders checks the halo masking:
+    wrap-around from the lane roll or row clamping would corrupt edges."""
+    c, co, h, w = 4, 4, 10, 128
+    x = np.zeros((1, c, h, w), np.float32)
+    x[:, :, 0, :] = 1.0
+    x[:, :, -1, :] = 2.0
+    x[:, :, :, 0] = 3.0
+    x[:, :, :, -1] = 4.0
+    kw = np.full((co, c, 3, 3), 0.5, np.float32)
+    got = conv3x3_nchw(jnp.asarray(x), jnp.asarray(kw), interpret=True)
+    want = conv3x3_reference(jnp.asarray(x), jnp.asarray(kw))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv3x3_bf16():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)), jnp.bfloat16)
+    kw = jnp.asarray(rng.normal(size=(8, 8, 3, 3)) * 0.1, jnp.bfloat16)
+    got = conv3x3_nchw(x, kw, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = conv3x3_reference(x, kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
