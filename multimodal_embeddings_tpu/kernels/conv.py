@@ -33,40 +33,52 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 8  # output rows per grid step (sublane alignment unit)
 
 
-def _conv3x3_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref, *, act: str, h: int):
-    """Grid (N, H/ROWS). x_ref: (1, C, H+3·ROWS, W) padded image (8 zero
-    rows on top, 16 below); o_ref: (1, Cout, ROWS, W) aligned output
-    group; patch scratch: (9·C, ROWS·W)."""
+def _conv3x3_kernel(
+    x_ref, w_ref, b_ref, o_ref, patch_ref, *, act: str, h: int, rows: int
+):
+    """Grid (N, H/rows). x_ref: (1, C, H+rows+16, W) padded image (``rows``
+    zero rows on top, 16 below); o_ref: (1, Cout, rows, W) aligned output
+    group; patch scratch: (9·C, rows·W)."""
+    ROWS = rows
     c = x_ref.shape[1]
     w = x_ref.shape[3]
     hi = pl.program_id(1)
     base = hi * ROWS
 
-    # one aligned load covering every row this group needs:
-    # output y = base+r takes padded rows base+r+7 .. base+r+9 ⊂ [base, base+24)
-    block = x_ref[0, :, pl.ds(base, 3 * ROWS), :]  # (C, 24, W)
+    # one aligned load covering every row this group needs: output
+    # y = base+r takes padded rows base+r+ROWS-1 .. base+r+ROWS+1, all
+    # inside [base, base+blk) with blk = ceil8(2·ROWS+1)
+    blk = -(-(2 * ROWS + 1) // 8) * 8
+    block = x_ref[0, :, pl.ds(base, blk), :]  # (C, blk, W)
 
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (c, w), 1)
-    for r in range(ROWS):
-        for dy in range(3):
-            row = block[:, r + 7 + dy, :]  # (C, W), static slice
-            for dx in (-1, 0, 1):
-                # position x reads input x+dx; the roll wraps (and only
-                # accepts non-negative shifts), so mask the wrapped column.
-                # Mosaic only implements 32-bit lane rotates — round-trip
-                # bf16 rows through f32 (exact).
-                if dx:
-                    shifted = pltpu.roll(
-                        row.astype(jnp.float32), (-dx) % w, axis=1
-                    ).astype(row.dtype)
-                else:
-                    shifted = row
+    # column index within each W-row of the flattened (C, ROWS·W) layout
+    colw = jax.lax.broadcasted_iota(jnp.int32, (c, ROWS, w), 2).reshape(
+        c, ROWS * w
+    )
+    for dy in range(3):
+        # the dy-plane for ALL output rows at once: padded rows
+        # [ROWS-1+dy, 2·ROWS-1+dy) flattened row-major to (C, ROWS·W) —
+        # exactly the patch column layout (r, x)
+        sub = block[:, ROWS - 1 + dy : 2 * ROWS - 1 + dy, :].reshape(
+            c, ROWS * w
+        )
+        for dx in (-1, 0, 1):
+            # position x reads input x+dx. One roll over the flattened
+            # axis serves every row: the wrap leaks only into each row's
+            # edge column, which the SAME-padding mask zeroes anyway.
+            # Mosaic only rotates 32-bit data — round-trip through f32
+            # (exact for bf16).
+            if dx:
+                v = pltpu.roll(
+                    sub.astype(jnp.float32), (-dx) % (ROWS * w), axis=1
+                ).astype(sub.dtype)
                 if dx == 1:
-                    shifted = jnp.where(lane_idx < w - 1, shifted, 0)
-                elif dx == -1:
-                    shifted = jnp.where(lane_idx >= 1, shifted, 0)
-                tap = dy * 3 + (dx + 1)
-                patch_ref[pl.ds(tap * c, c), pl.ds(r * w, w)] = shifted
+                    v = jnp.where(colw < w - 1, v, 0)
+                else:
+                    v = jnp.where(colw >= 1, v, 0)
+            else:
+                v = sub
+            patch_ref[pl.ds((dy * 3 + dx + 1) * c, c), :] = v
 
     acc = jnp.dot(
         w_ref[...], patch_ref[...], preferred_element_type=jnp.float32
@@ -87,7 +99,7 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+@functools.partial(jax.jit, static_argnames=("act", "interpret", "rows"))
 def conv3x3_nchw(
     x: jnp.ndarray,  # (N, C, H, W)
     w: jnp.ndarray,  # (Cout, C, 3, 3)
@@ -95,39 +107,42 @@ def conv3x3_nchw(
     *,
     act: str = "none",  # "none" | "silu"
     interpret: bool | None = None,
+    rows: int = ROWS,  # output rows per grid step (multiple of 8)
 ) -> jnp.ndarray:
     """Stride-1 SAME 3×3 conv (+ optional bias/SiLU) in NCHW layout."""
     if interpret is None:
         interpret = not _on_tpu()
     n, c, h, width = x.shape
     cout = w.shape[0]
-    if h % ROWS:
-        pad_h = ROWS - h % ROWS
+    if h % rows:
+        pad_h = rows - h % rows
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
-        return conv3x3_nchw(xp, w, bias, act=act, interpret=interpret)[
-            :, :, :h, :
-        ]
+        return conv3x3_nchw(
+            xp, w, bias, act=act, interpret=interpret, rows=rows
+        )[:, :, :h, :]
     # (Cout, 9·C) with patch-row order (dy, dx, ci)
     w_flat = jnp.transpose(w, (0, 2, 3, 1)).reshape(cout, 9 * c)
     b = jnp.zeros((cout, 1), jnp.float32) if bias is None else bias.reshape(cout, 1)
-    # zero-padding for SAME semantics + alignment: 8 rows on top (so row
-    # y-1 of the first group sits at padded index base+7) and 2·ROWS
-    # below (the last group's aligned 24-row load stays in bounds)
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (ROWS, 2 * ROWS), (0, 0)))
+    # zero-padding for SAME semantics + alignment: ``rows`` rows on top
+    # (so row y-1 of group r=0 sits at padded index base+rows-1) and
+    # enough below that the last group's aligned blk-row load stays in
+    # bounds (blk = ceil8(2·rows+1), matching the kernel's load)
+    blk = -(-(2 * rows + 1) // 8) * 8
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (rows, blk - rows), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_conv3x3_kernel, act=act, h=h),
-        grid=(n, h // ROWS),
+        functools.partial(_conv3x3_kernel, act=act, h=h, rows=rows),
+        grid=(n, h // rows),
         in_specs=[
-            pl.BlockSpec((1, c, h + 3 * ROWS, width), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, h + blk, width), lambda i, j: (i, 0, 0, 0)),
             pl.BlockSpec((cout, 9 * c), lambda i, j: (0, 0)),
             pl.BlockSpec((cout, 1), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, cout, ROWS, width), lambda i, j: (i, 0, j, 0)
+            (1, cout, rows, width), lambda i, j: (i, 0, j, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((n, cout, h, width), x.dtype),
-        scratch_shapes=[pltpu.VMEM((9 * c, ROWS * width), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((9 * c, rows * width), x.dtype)],
         # the per-image input block (~7MB at 48×280×256) double-buffers
         # past the conservative 16MB default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

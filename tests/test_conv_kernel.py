@@ -64,3 +64,13 @@ def test_conv3x3_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+@pytest.mark.parametrize("rows", [8, 16])
+def test_conv3x3_rows_parameter(rows):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 32, 128)).astype(np.float32))
+    kw = jnp.asarray(rng.normal(size=(8, 8, 3, 3)).astype(np.float32) * 0.1)
+    got = conv3x3_nchw(x, kw, interpret=True, rows=rows)
+    want = conv3x3_reference(x, kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
