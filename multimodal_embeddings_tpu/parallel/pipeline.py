@@ -155,3 +155,90 @@ def pipeline_apply(
     # (S*M, mb, ...) → last stage's M microbatches
     y = out[(S - 1) * M :]
     return y.reshape(B, *x.shape[1:])
+
+
+def pipeline_decode_step(
+    layer_fn: Callable,
+    stacked_params,
+    state,
+    x: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    stage_axis: str = STAGE_AXIS,
+):
+    """One autoregressive decode step through an S-stage pipeline.
+
+    Decoding one token is inherently sequential across stages (token t+1
+    cannot enter stage 0 before token t leaves the sampler), so PP decode
+    buys FIT, not speed: each stage holds its layer slice and that
+    slice's KV caches; the hidden state hops the stage ring once.
+
+    Args:
+        layer_fn: ``layer_fn(one_layer_params, one_layer_state, h) ->
+            (h, new_layer_state)`` — e.g. a cached-attention decoder
+            block (closure over RoPE tables / the cache position).
+        stacked_params: pytree with leading dims ``(S, L/S, ...)``.
+        state: pytree with leading dims ``(S, L/S, ...)`` — per-layer
+            recurrent state (KV caches), stage-sharded like the params.
+        x: ``(B, ...)`` decode-step activations for the whole batch.
+
+    Returns:
+        ``(y, new_state)`` — the last stage's output and the updated
+        state (same structure/sharding as ``state``).
+    """
+    S = mesh.shape[stage_axis]
+
+    if S == 1:
+        flat_p = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), stacked_params)
+        flat_s = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), state)
+        y, new_s = jax.lax.scan(
+            lambda h, ps: layer_fn(ps[0], ps[1], h), x, (flat_p, flat_s)
+        )
+        new_s = jax.tree.map(
+            lambda a, ref: a.reshape(ref.shape), new_s, state
+        )
+        return y, new_s
+
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    def pipelined(params_local, state_local, x_all):
+        stage_id = jax.lax.axis_index(stage_axis)
+        p = jax.tree.map(lambda a: a[0], params_local)
+        s0 = jax.tree.map(lambda a: a[0], state_local)
+
+        def tick(carry, t):
+            recv, st = carry
+            inp = jnp.where(
+                stage_id == 0,
+                jax.lax.pcast(x_all, (stage_axis,), to="varying"),
+                recv,
+            )
+            h, scanned = jax.lax.scan(
+                lambda hh, ps: layer_fn(ps[0], ps[1], hh), inp, (p, st)
+            )
+            # commit state only on this stage's active tick (other ticks
+            # ran on garbage activations)
+            active = t == stage_id
+            st = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), scanned, st
+            )
+            recv_next = jax.lax.ppermute(h, stage_axis, perm)
+            return (recv_next, st), h
+
+        recv0 = jax.lax.pcast(
+            jnp.zeros_like(x_all), (stage_axis,), to="varying"
+        )
+        (_, st), hs = jax.lax.scan(tick, (recv0, s0), jnp.arange(S))
+        # hs[t] is this stage's output at tick t; the final answer is the
+        # LAST stage's output at the LAST tick — stage-concatenated out
+        # lets the caller read it without a collective
+        new_state = jax.tree.map(lambda a: a[None], st)
+        return hs[S - 1][None], new_state
+
+    out, new_state = jax.shard_map(
+        pipelined,
+        mesh=mesh,
+        in_specs=(P(stage_axis), P(stage_axis), P()),
+        out_specs=(P(stage_axis), P(stage_axis)),
+    )(stacked_params, state, x)
+    return out[S - 1], new_state

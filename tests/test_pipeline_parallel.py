@@ -160,3 +160,91 @@ def test_qwen_pp_prefill_matches_sequential(devices8):
         num_microbatches=4,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pipeline_decode_step_with_kv_caches(devices8):
+    """Cached autoregressive decode through the stage ring: 4 QwenBlocks
+    over 2 stages, per-stage KV caches. Three decode steps must match the
+    sequential stack exactly (hidden states AND cache contents)."""
+    from multimodal_embeddings_tpu.models.qwen_vl import QwenBlock, QwenVLConfig
+    from multimodal_embeddings_tpu.parallel.pipeline import (
+        pipeline_decode_step,
+    )
+
+    cfg = QwenVLConfig.tiny().text
+    block = QwenBlock(cfg, dtype=jnp.float32)
+    n_layers, n_stages, B, maxlen = 4, 2, 2, 8
+    width = cfg.hidden
+
+    inv = 1.0 / (
+        cfg.rope_theta
+        ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim)
+    )
+
+    def tables(pos):
+        f = (jnp.full((B, 1), float(pos)) * inv[None]).reshape(B, 1, -1)
+        return jnp.cos(f), jnp.sin(f)
+
+    cos0, sin0 = tables(0)
+    x0 = jnp.zeros((B, 1, width), jnp.float32)
+    zero_cache = (
+        jnp.zeros((B, maxlen, cfg.kv_heads, cfg.head_dim), jnp.float32),
+        jnp.zeros((B, maxlen, cfg.kv_heads, cfg.head_dim), jnp.float32),
+    )
+    keys = jax.random.split(jax.random.key(11), n_layers)
+    params = [
+        unbox(block.init(k, x0, cos0, sin0, cache=zero_cache, position=0))[
+            "params"
+        ]
+        for k in keys
+    ]
+
+    rng = np.random.default_rng(9)
+    mesh = make_pp_mesh(n_stages, devices8)
+    stacked = stack_layer_params(params, n_stages)
+
+    # sequential reference state: list of per-layer caches
+    seq_caches = [zero_cache for _ in range(n_layers)]
+    # pipelined state: same caches stacked to (S, L/S, ...)
+    pp_state = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape(
+            n_stages, n_layers // n_stages, *xs[0].shape
+        ),
+        *seq_caches,
+    )
+
+    for pos in range(3):
+        cos, sin = tables(pos)
+        h = jnp.asarray(rng.normal(size=(B, 1, width)).astype(np.float32))
+
+        ref = h
+        new_seq = []
+        for p, cache in zip(params, seq_caches):
+            ref, c2 = block.apply(
+                {"params": p}, ref, cos, sin, cache=cache, position=pos
+            )
+            new_seq.append(c2)
+        seq_caches = new_seq
+
+        def layer_fn(lp, cache, hh, cos=cos, sin=sin, pos=pos):
+            return block.apply(
+                {"params": lp}, hh, cos, sin, cache=cache, position=pos
+            )
+
+        out, pp_state = pipeline_decode_step(
+            layer_fn, stacked, pp_state, h, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"step {pos}",
+        )
+
+    # cache contents identical after 3 steps
+    ref_stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape(
+            n_stages, n_layers // n_stages, *xs[0].shape
+        ),
+        *seq_caches,
+    )
+    for a, b in zip(jax.tree.leaves(pp_state), jax.tree.leaves(ref_stacked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
