@@ -248,3 +248,37 @@ def test_pipeline_decode_step_with_kv_caches(devices8):
     )
     for a, b in zip(jax.tree.leaves(pp_state), jax.tree.leaves(ref_stacked)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pp_greedy_generate_matches_single_device(devices8):
+    """Full 32B-serving assembly on the tiny config: prefill + cached
+    greedy decode through the 2-stage ring must reproduce the
+    single-device greedy_generate token-for-token."""
+    from multimodal_embeddings_tpu.models.qwen_pp import pp_greedy_generate
+    from multimodal_embeddings_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLModel,
+        greedy_generate,
+    )
+
+    config = QwenVLConfig.tiny()
+    model = QwenVLModel(config, dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    # avoid the image-pad id (5) — text-only prompts
+    prompt = rng.integers(10, config.text.vocab_size, (2, 6)).astype(np.int32)
+
+    variables = unbox(model.init(jax.random.key(3), jnp.asarray(prompt)))
+    ref = greedy_generate(
+        model, variables, prompt, images=None, max_new_tokens=4
+    )
+
+    mesh = make_pp_mesh(2, devices8)
+    got = pp_greedy_generate(
+        config,
+        variables,
+        prompt,
+        mesh=mesh,
+        n_stages=2,
+        max_new_tokens=4,
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref))
