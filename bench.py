@@ -61,7 +61,9 @@ def make_page(height: int, width: int, seed: int = 0) -> np.ndarray:
     return page
 
 
-def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
+def build_pipeline(
+    quick: bool, batch: int = 1, family: str = "siglip", mme5_chunk: int = 8
+):
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +138,7 @@ def build_pipeline(quick: bool, batch: int = 1, family: str = "siglip"):
         prompt_ids = jnp.asarray(prompt_ids)
         prompt_mask = jnp.asarray(prompt_mask)
         emb_model = embedder.model
-        chunk = 8
+        chunk = mme5_chunk
         assert n_regions % chunk == 0
 
         # Params must be jit ARGUMENTS, not closure constants: closed-over
@@ -190,12 +192,15 @@ def run_bench(
     batch: int = 1,
     family: str = "siglip",
     profile_dir: str | None = None,
+    mme5_chunk: int = 8,
 ) -> dict:
     import contextlib
 
     import jax
 
-    fused, page_hw, n_regions = build_pipeline(quick, batch=batch, family=family)
+    fused, page_hw, n_regions = build_pipeline(
+        quick, batch=batch, family=family, mme5_chunk=mme5_chunk
+    )
     page = make_page(*page_hw)
 
     import jax.numpy as jnp
@@ -352,6 +357,12 @@ def main() -> None:
     )
     parser.add_argument("--measure-cpu-baseline", action="store_true")
     parser.add_argument(
+        "--mme5-chunk",
+        type=int,
+        default=8,
+        help="region-embed chunk size for the mme5 two-program split",
+    )
+    parser.add_argument(
         "--profile",
         default=None,
         metavar="DIR",
@@ -372,6 +383,7 @@ def main() -> None:
         batch=args.batch,
         family=args.family,
         profile_dir=args.profile,
+        mme5_chunk=args.mme5_chunk,
     )
 
     vs_baseline = None
