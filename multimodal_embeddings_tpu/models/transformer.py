@@ -131,9 +131,36 @@ def sdpa(
     pref = jnp.float32
     if q.dtype == jnp.bfloat16 and not _f32_logits_forced():
         pref = jnp.bfloat16
-    logits = jnp.einsum(
-        "blhd,bmhd->bhlm", q, k, preferred_element_type=pref
-    ).astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=pref)
+    if pref == jnp.bfloat16:
+        # bf16 path: every (B, H, L, L)-sized tensor that XLA materializes
+        # stays HALF width — masks are applied to the bf16 logits (the
+        # einsum already rounded them to bf16, so masking before vs after
+        # the f32 upcast is bit-identical), and the upcast+scale convert
+        # duplicates into the max/exp consumers instead of materializing
+        # an f32 copy (a 21.5GB transient at 11B batch-8 vision scale).
+        # The exp output is materialized ONCE in bf16; normalization
+        # happens after the PV matmul with an f32-accumulated denominator.
+        if causal:
+            causal_mask = jnp.tril(jnp.ones((lq, k.shape[1]), bool))
+            logits = jnp.where(causal_mask[None, None], logits, -1e30)
+        if mask is not None:
+            if mask.dtype == jnp.bool_:
+                logits = jnp.where(mask, logits, -1e30)
+            else:
+                # additive masks are biases in SCALED-logit space; the
+                # scale divide happens below, so pre-multiply
+                logits = logits + (mask * jnp.sqrt(d)).astype(logits.dtype)
+        lf = logits.astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
+        m = jnp.max(lf, axis=-1, keepdims=True)
+        p16 = jnp.exp(lf - m).astype(v.dtype)
+        denom = jnp.sum(p16, axis=-1, dtype=jnp.float32)  # (B, H, L)
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", p16, v, preferred_element_type=jnp.float32
+        )
+        out = out / denom.transpose(0, 2, 1)[..., None]
+        return out.astype(v.dtype)
+    logits = logits.astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
     if causal:
         causal_mask = jnp.tril(jnp.ones((lq, k.shape[1]), bool))
         logits = jnp.where(causal_mask[None, None], logits, -1e30)
@@ -142,20 +169,6 @@ def sdpa(
             logits = jnp.where(mask, logits, -1e30)
         else:
             logits = logits + mask
-    if pref == jnp.bfloat16:
-        # Materialize the (B, H, L, L) tensor ONCE in bf16: the f32 softmax
-        # output otherwise roots the producer fusion at full width (trace-
-        # measured ~2.7 ms/page/layer at ViT-448 scale). Normalization
-        # happens after the PV matmul — exp is stable (max-subtracted) and
-        # the sum accumulates in f32 over the bf16 weights.
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p16 = jnp.exp(logits - m).astype(v.dtype)
-        denom = jnp.sum(p16, axis=-1, dtype=jnp.float32)  # (B, H, L)
-        out = jnp.einsum(
-            "bhlm,bmhd->blhd", p16, v, preferred_element_type=jnp.float32
-        )
-        out = out / denom.transpose(0, 2, 1)[..., None]
-        return out.astype(v.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
 

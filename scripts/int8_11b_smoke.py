@@ -28,7 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import argparse
+
     import jax
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1)
+    args = parser.parse_args()
 
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if platforms and "cpu" not in platforms:
@@ -46,7 +52,7 @@ def main() -> None:
     cfg = MllamaConfig.mme5_11b_int8()
     model = MmE5Embedder(cfg, dtype=jnp.bfloat16)
 
-    b = 1
+    b = args.batch
     text_len = 16
     size = cfg.vision.image_size
     tiles = cfg.vision.max_tiles
@@ -101,12 +107,12 @@ def main() -> None:
     for _ in range(n):
         out = embed(variables, ids, mask, images)
     _ = np.asarray(out)
-    per_crop_ms = (time.time() - t0) / n * 1e3
+    per_crop_ms = (time.time() - t0) / (n * b) * 1e3
 
     mem = jax.devices()[0].memory_stats() or {}
     print(json.dumps({
-        "metric": "mme5-11B int8 single-chip forward (1 crop, 1601 vision "
-        "tokens + 40-layer text)",
+        "metric": f"mme5-11B int8 single-chip forward (batch {b}, 1601 "
+        "vision tokens/crop + 40-layer text)",
         "params_gib": round(gb, 2),
         "hbm_in_use_gib": round(mem.get("bytes_in_use", 0) / 2**30, 2),
         "compile_plus_first_run_s": round(compile_s, 1),
