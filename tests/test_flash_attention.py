@@ -150,3 +150,38 @@ class TestBf16LogitsPath:
         # first query position attends only to itself
         first = np.asarray(sdpa(q[:, :1], k[:, :1], v[:, :1]), np.float32)
         np.testing.assert_allclose(causal[:, 0], first[:, 0], atol=0.02)
+
+
+class TestKvLengths:
+    def test_sdpa_kv_lengths_equals_bool_mask(self):
+        """kv_lengths is the per-batch valid-prefix mask contract: off-TPU
+        it must produce exactly the boolean-mask path's output (on TPU it
+        dispatches to the flash kernel's native length masking)."""
+        from multimodal_embeddings_tpu.models.transformer import sdpa
+
+        rng = np.random.default_rng(0)
+        b, l, h, d = 3, 64, 4, 16
+        q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+        lengths = jnp.asarray([64, 50, 0], jnp.int32)
+        mask = (jnp.arange(l)[None, :] < lengths[:, None])[:, None, None, :]
+
+        got = sdpa(q, k, v, kv_lengths=lengths)
+        want = sdpa(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_encoder_block_kv_lengths_matches_mask(self):
+        import jax
+
+        from multimodal_embeddings_tpu.models.transformer import EncoderBlock
+
+        rng = np.random.default_rng(1)
+        block = EncoderBlock(num_heads=4, dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
+        lengths = jnp.asarray([24, 17], jnp.int32)
+        mask = (jnp.arange(24)[None, :] < lengths[:, None])[:, None, None, :]
+        params = block.init(jax.random.key(0), x)
+        got = block.apply(params, x, kv_lengths=lengths)
+        want = block.apply(params, x, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
