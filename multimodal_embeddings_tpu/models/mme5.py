@@ -291,14 +291,13 @@ class MllamaVisionEncoder(nn.Module):
         pos_valid = (jnp.arange(padded) < seq)[None, None, :]  # (1, 1, Lp)
         key_valid = (tile_mask[:, :, None].astype(bool) & pos_valid).reshape(b, -1)
         attn_mask = key_valid[:, None, None, :]  # (B, 1, 1, T*Lp)
-        kv_lengths = None
-        if t == 1:
-            # single-tile: the key mask is a per-batch VALID PREFIX
-            # (seq real tokens then padding) — expressible as lengths, so
-            # sdpa can dispatch to the flash kernel's native length
-            # masking (20% faster than the masked XLA path at this scale)
-            kv_lengths = tile_mask[:, 0].astype(jnp.int32) * seq
-            attn_mask = None
+        # NOTE: for t == 1 the key mask is a per-batch valid prefix and
+        # could route to the flash kernel via sdpa(kv_lengths=...) — the
+        # kernel wins standalone at this shape (7.4 vs 9.2 ms, B8 H16
+        # L1608 D80) but LOSES in the fused embed program (0.55 vs 0.63
+        # pages/sec measured round 2): XLA fuses the (B,L,H,D)
+        # head-transposes into the projections, while the kernel's
+        # boundary relayouts stay materialized. Keep the XLA masked path.
         x = x.reshape(b, t * padded, cfg.width)
 
         intermediates = []
@@ -314,7 +313,7 @@ class MllamaVisionEncoder(nn.Module):
                 dtype=self.dtype,
                 quantize=self.quantize,
                 name=f"local{i}",
-            )(x, mask=attn_mask, kv_lengths=kv_lengths)
+            )(x, mask=attn_mask)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
         x = x.reshape(b, t, padded, cfg.width)
         x = TilePositionalEmbedding(
@@ -331,7 +330,7 @@ class MllamaVisionEncoder(nn.Module):
                 dtype=self.dtype,
                 quantize=self.quantize,
                 name=f"global{i}",
-            )(x, mask=attn_mask, kv_lengths=kv_lengths)
+            )(x, mask=attn_mask)
 
         # HF concatenates [final, stack(intermediates, -1).reshape(.., -1)]:
         # the intermediate block is CHANNEL-INTERLEAVED (index = c*n_int + l),

@@ -102,7 +102,11 @@ def _flash_eligible(q, k, mask, causal) -> bool:
     return _on_tpu_backend()
 
 
-_FLASH_LENGTHS_MIN_LEN = 1024
+# lengths-masked flash dispatch threshold: the kernel wins standalone at
+# L=1608 (7.4 vs 9.2 ms) but loses inside fused programs where XLA fuses
+# the head transposes away (mme5 bench 0.55 vs 0.63 p/s) — so the
+# threshold matches the unmasked one and the call sites decide
+_FLASH_LENGTHS_MIN_LEN = 2048
 
 
 def sdpa(
@@ -118,10 +122,10 @@ def sdpa(
     Long unmasked self-attention dispatches to the Pallas flash kernel
     (``kernels/flash_attention.py``) on TPU; everything else takes the XLA
     einsum path. ``kv_lengths`` expresses a per-batch VALID-PREFIX key
-    mask (mutually exclusive with ``mask``): on TPU at ≥1024 tokens it
-    dispatches to the flash kernel's native length masking (measured 7.4
-    vs 9.2 ms at the Mllama vision shape B8 H16 L1608 D80); elsewhere it
-    falls back to an equivalent boolean mask on the XLA path.
+    mask (mutually exclusive with ``mask``): on TPU at ≥2048 tokens it
+    dispatches to the flash kernel's native length masking; elsewhere it
+    falls back to an equivalent boolean mask on the XLA path (test-locked
+    equality).
     """
     if kv_lengths is not None:
         assert mask is None, "kv_lengths and mask are mutually exclusive"
