@@ -192,3 +192,18 @@ def test_embedder_facade_int8_rejects_mesh(devices8):
             mesh=mesh,
             model_config=MllamaConfig.tiny(),
         )
+
+
+def test_stochastic_rounding_higher_rank():
+    """The >2D path (DenseGeneral kernels like (in, heads, head_dim))
+    collapses to 2D, quantizes, and restores the original layout."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(32, 4, 8)).astype(np.float32))
+    qt = stochastic_round_quantize(w, (0,), seed=5, interpret=True)
+    assert qt.q.shape == w.shape and qt.q.dtype == jnp.int8
+    assert qt.scale.shape == (1, 4, 8)
+    # stochastic rounding stays within one level of round-to-nearest
+    deq = np.asarray(qt.q, np.float64) * np.asarray(qt.scale, np.float64)
+    err = np.abs(deq - np.asarray(w, np.float64))
+    bound = np.asarray(qt.scale, np.float64) + 1e-6  # floor+u: ≤ 1 level
+    assert (err <= bound).all()
