@@ -165,3 +165,135 @@ def conv3x3_reference(x, w, bias=None, act="none"):
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     return out
+
+
+def _conv3x3_s2_kernel(
+    p00_ref, p01_ref, p10_ref, p11_ref, w_ref, b_ref, o_ref, patch_ref,
+    *, act: str, rows: int
+):
+    """Stride-2 via even/odd plane decomposition. Each plane
+    P[rp][cp][c, i, j] = x[2i+rp, 2j+cp] has the OUTPUT's spatial extent,
+    so tap (dy, dx) reads plane (dy%2, dx%2) at static offsets
+    (dy//2, dx//2) — the same aligned-load + lane-roll machinery as the
+    stride-1 kernel, with W' on lanes. Planes are padded one extra
+    row/col of zeros by the wrapper (the dy=2 / dx=2 taps at the edge)."""
+    ROWS = rows
+    c = p00_ref.shape[1]
+    w = p00_ref.shape[3]  # W' + lane padding handled by mask
+    hi = pl.program_id(1)
+    base = hi * ROWS
+
+    planes = ((p00_ref, p01_ref), (p10_ref, p11_ref))
+    blk = -(-(ROWS + 2) // 8) * 8
+    loaded = {
+        (rp, cp): planes[rp][cp][0, :, pl.ds(base, blk), :]
+        for rp in (0, 1)
+        for cp in (0, 1)
+    }
+    colw = jax.lax.broadcasted_iota(jnp.int32, (c, ROWS, w), 2).reshape(
+        c, ROWS * w
+    )
+    for dy in range(3):
+        rp, roff = dy % 2, dy // 2
+        for dx in range(3):
+            cp, coff = dx % 2, dx // 2
+            sub = loaded[(rp, cp)][:, roff : roff + ROWS, :].reshape(
+                c, ROWS * w
+            )
+            if coff:
+                # column x'+1: roll left by one lane; the wrapped edge
+                # column corresponds to input col ≥ W and is zeroed
+                v = pltpu.roll(
+                    sub.astype(jnp.float32), (ROWS * w) - 1, axis=1
+                ).astype(sub.dtype)
+                v = jnp.where(colw < w - 1, v, 0)
+            else:
+                v = sub
+            patch_ref[pl.ds((dy * 3 + dx) * c, c), :] = v
+
+    acc = jnp.dot(
+        w_ref[...], patch_ref[...], preferred_element_type=jnp.float32
+    )
+    acc = acc + b_ref[...].astype(jnp.float32)
+    if act == "silu":
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = acc.reshape(o_ref.shape[1], ROWS, w).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret", "rows"))
+def conv3x3_s2_nchw(
+    x: jnp.ndarray,  # (N, C, H, W), H and W even
+    w: jnp.ndarray,  # (Cout, C, 3, 3)
+    bias: jnp.ndarray | None = None,
+    *,
+    act: str = "none",
+    interpret: bool | None = None,
+    rows: int = ROWS,
+) -> jnp.ndarray:
+    """Stride-2 SAME 3×3 conv (+ optional bias/SiLU), NCHW. SAME with
+    even H/W and stride 2 pads 0 on top/left and 1 on bottom/right
+    (lax/torch semantics): out[y', x'] covers input rows 2y'..2y'+2."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n, c, h, width = x.shape
+    assert h % 2 == 0 and width % 2 == 0, "stride-2 path expects even H, W"
+    cout = w.shape[0]
+    ho, wo = h // 2, width // 2
+    if ho % rows:
+        pad_h = (rows - ho % rows) * 2
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        return conv3x3_s2_nchw(
+            xp, w, bias, act=act, interpret=interpret, rows=rows
+        )[:, :, :ho, :]
+    # patch-row order (dy, dx, ci) — NOTE: tap index dy*3+dx (no +1 lane
+    # shift like stride-1; the coff roll covers dx parity instead)
+    w_flat = jnp.transpose(w, (0, 2, 3, 1)).reshape(cout, 9 * c)
+    b = jnp.zeros((cout, 1), jnp.float32) if bias is None else bias.reshape(cout, 1)
+
+    # even/odd planes with one extra zero row (for the dy=2 edge tap) and
+    # one extra zero col folded into the roll mask; then pad rows so the
+    # kernel's aligned blk-row loads stay in bounds
+    blk = -(-(rows + 2) // 8) * 8
+    planes = []
+    for rp in (0, 1):
+        for cp in (0, 1):
+            p = x[:, :, rp::2, cp::2]
+            p = jnp.pad(p, ((0, 0), (0, 0), (0, blk - 0), (0, 0)))
+            planes.append(p)
+    p00, p01, p10, p11 = planes
+
+    out = pl.pallas_call(
+        functools.partial(_conv3x3_s2_kernel, act=act, rows=rows),
+        grid=(n, ho // rows),
+        in_specs=[
+            pl.BlockSpec((1, c, ho + blk, wo), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, ho + blk, wo), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, ho + blk, wo), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, ho + blk, wo), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((cout, 9 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, rows, wo), lambda i, j: (i, 0, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, cout, ho, wo), x.dtype),
+        scratch_shapes=[pltpu.VMEM((9 * c, rows * wo), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(p00, p01, p10, p11, w_flat.astype(x.dtype), b)
+    return out
+
+
+def conv3x3_s2_reference(x, w, bias=None, act="none"):
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        window_strides=(2, 2),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1, 1)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    return out

@@ -74,3 +74,42 @@ def test_conv3x3_rows_parameter(rows):
     got = conv3x3_nchw(x, kw, interpret=True, rows=rows)
     want = conv3x3_reference(x, kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestStride2:
+    @pytest.mark.parametrize(
+        "n,c,co,h,w", [(2, 8, 16, 32, 256), (1, 16, 8, 48, 128)]
+    )
+    def test_conv3x3_s2_matches_lax(self, n, c, co, h, w):
+        from multimodal_embeddings_tpu.kernels.conv import (
+            conv3x3_s2_nchw,
+            conv3x3_s2_reference,
+        )
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(n, c, h, w)).astype(np.float32))
+        kw = jnp.asarray(rng.normal(size=(co, c, 3, 3)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        got = conv3x3_s2_nchw(x, kw, b, act="silu", interpret=True)
+        want = conv3x3_s2_reference(x, kw, b, act="silu")
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_conv3x3_s2_edges(self):
+        """Border mass checks the bottom/right SAME padding and the
+        odd-plane roll masking."""
+        from multimodal_embeddings_tpu.kernels.conv import (
+            conv3x3_s2_nchw,
+            conv3x3_s2_reference,
+        )
+
+        c, co, h, w = 4, 4, 16, 128
+        x = np.zeros((1, c, h, w), np.float32)
+        x[:, :, 0, :] = 1.0
+        x[:, :, -1, :] = 2.0
+        x[:, :, :, 0] = 3.0
+        x[:, :, :, -1] = 4.0
+        kw = np.full((co, c, 3, 3), 0.5, np.float32)
+        got = conv3x3_s2_nchw(jnp.asarray(x), jnp.asarray(kw), interpret=True)
+        want = conv3x3_s2_reference(jnp.asarray(x), jnp.asarray(kw))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
