@@ -1,5 +1,9 @@
 """Direct 3×3 convolution as a Pallas TPU kernel (spatial-on-lanes).
 
+TPU-native counterpart of the torch/CUDA convs behind the reference's
+detector (``1_doclayout_bboxes.py:205-215`` runs YOLOv10 through
+PyTorch's cuDNN kernels; SURVEY §2.3 row 1).
+
 Why: the DocLayout-YOLO backbone's hot convs run 48-96 channels at
 256²/128² spatial over 30 views (trace: 81% of page time, ~5-10% MFU).
 XLA's conv emitter puts CHANNELS on the 128 MXU lanes, so C=48 wastes
