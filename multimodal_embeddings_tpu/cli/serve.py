@@ -64,12 +64,22 @@ class FusedServer:
             ),
         )
         self.detector = LayoutDetector(det_cfg, dtype=jnp.bfloat16)
-        model_config = (
-            DualEncoderConfig.tiny() if args.embedder_size == "tiny" else None
-        )
+        if args.embedder_size == "tiny":
+            # per-family tiny config (DualEncoderConfig.tiny() fed to the
+            # mme5 family was a latent crash)
+            if args.embedder_family == "mme5":
+                from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+
+                model_config = MllamaConfig.tiny()
+            else:
+                model_config = DualEncoderConfig.tiny()
+        else:
+            model_config = None
         self.embedder = MultimodalEmbedder(
             EmbedderConfig(
-                family=args.embedder_family, weights_path=args.embedder_weights
+                family=args.embedder_family,
+                weights_path=args.embedder_weights,
+                quantize=getattr(args, "quantize", False),
             ),
             model_config=model_config,
         )
@@ -192,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--embedder_size", choices=["tiny", "base"], default="base")
     parser.add_argument("--detector_weights", default=None)
     parser.add_argument("--embedder_weights", default=None)
+    parser.add_argument(
+        "--quantize",
+        action="store_true",
+        help="int8 weight-only mme5 embedder (single-chip 11B serving; "
+        "models/quantized.py)",
+    )
     parser.add_argument("--watch", action="store_true", help="poll for new pages")
     parser.add_argument("--poll_interval", type=float, default=5.0)
     return parser
