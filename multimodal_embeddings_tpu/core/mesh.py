@@ -52,6 +52,47 @@ def make_mesh(
     return Mesh(mesh_devices, (config.data_axis, config.model_axis))
 
 
+def make_hybrid_mesh(
+    config: MeshConfig = MeshConfig(), host_groups: Optional[Sequence] = None
+) -> Mesh:
+    """Multi-host (data, model) mesh with host-major device order.
+
+    On a pod slice spanning hosts, the batch (data) axis must be laid out
+    so its OUTER dimension crosses hosts: within-host shards then ride
+    ICI and only cross-host reductions touch DCN (the "How to Scale Your
+    Model" hybrid recipe — the reference has no distribution at all,
+    ``deprecated_package/embedder.py:190-224``). Tensor-parallel (model)
+    stays strictly within a host: its collectives are per-layer and must
+    never cross DCN.
+
+    ``host_groups`` (one device list per host) defaults to grouping
+    ``jax.devices()`` by ``process_index``; tests pass explicit groups to
+    simulate hosts on the virtual CPU mesh.
+    """
+    if host_groups is None:
+        by_host: dict = {}
+        for d in jax.devices():
+            by_host.setdefault(getattr(d, "process_index", 0), []).append(d)
+        host_groups = [by_host[k] for k in sorted(by_host)]
+    if len(host_groups) == 1:
+        return make_mesh(config, devices=host_groups[0])
+
+    per_host = len(host_groups[0])
+    if any(len(g) != per_host for g in host_groups):
+        raise ValueError("hosts must contribute equal device counts")
+    _, model_size = config.shape
+    if model_size < 1 or per_host % model_size:
+        raise ValueError(
+            f"model={model_size} must divide the {per_host} devices per "
+            "host (tensor parallelism must not cross DCN)"
+        )
+    # host-major ordering: data axis = (host, local_data) flattened
+    ordered = [d for g in host_groups for d in g]
+    data_size = len(ordered) // model_size
+    mesh_devices = np.asarray(ordered).reshape(data_size, model_size)
+    return Mesh(mesh_devices, (config.data_axis, config.model_axis))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
