@@ -27,6 +27,10 @@ import time
 
 import numpy as np
 
+# measured default for the detector's Pallas conv routing (see ROADMAP
+# "Round-3 conv strategy"); override with --pallas-convs
+DEFAULT_PALLAS_CONVS = 0
+
 
 def _setup_jax() -> None:
     """Keep the CPU backend available next to the TPU plugin (host-side
@@ -62,7 +66,11 @@ def make_page(height: int, width: int, seed: int = 0) -> np.ndarray:
 
 
 def build_pipeline(
-    quick: bool, batch: int = 1, family: str = "siglip", mme5_chunk: int = 8
+    quick: bool,
+    batch: int = 1,
+    family: str = "siglip",
+    mme5_chunk: int = 8,
+    pallas_convs: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -78,12 +86,19 @@ def build_pipeline(
     from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
 
     if quick:
-        det_cfg = DetectorConfig(image_size=256, variant="n", grid_configs=((2, 2),))
+        det_cfg = DetectorConfig(
+            image_size=256,
+            variant="n",
+            grid_configs=((2, 2),),
+            pallas_convs=pallas_convs,
+        )
         enc_cfg = DualEncoderConfig.tiny()
         page_hw = (800, 600)
         n_regions = 8
     else:
-        det_cfg = DetectorConfig(image_size=1024, variant="m")
+        det_cfg = DetectorConfig(
+            image_size=1024, variant="m", pallas_convs=pallas_convs
+        )
         enc_cfg = DualEncoderConfig(
             vision=VisionConfig(image_size=448, patch_size=16, width=768, layers=12, heads=12),
             text=TextConfig(),
@@ -193,13 +208,18 @@ def run_bench(
     family: str = "siglip",
     profile_dir: str | None = None,
     mme5_chunk: int = 8,
+    pallas_convs: int = 0,
 ) -> dict:
     import contextlib
 
     import jax
 
     fused, page_hw, n_regions = build_pipeline(
-        quick, batch=batch, family=family, mme5_chunk=mme5_chunk
+        quick,
+        batch=batch,
+        family=family,
+        mme5_chunk=mme5_chunk,
+        pallas_convs=pallas_convs,
     )
     page = make_page(*page_hw)
 
@@ -368,6 +388,13 @@ def main() -> None:
         metavar="DIR",
         help="capture a jax.profiler trace of the timed loop into DIR",
     )
+    parser.add_argument(
+        "--pallas-convs",
+        type=int,
+        default=DEFAULT_PALLAS_CONVS,
+        help="route GL-CRM inner convs with <= N channels through the "
+        "Pallas spatial-on-lanes conv kernel (0 = XLA convs)",
+    )
     args = parser.parse_args()
     _setup_jax()
 
@@ -384,6 +411,7 @@ def main() -> None:
         family=args.family,
         profile_dir=args.profile,
         mme5_chunk=args.mme5_chunk,
+        pallas_convs=args.pallas_convs,
     )
 
     vs_baseline = None

@@ -85,6 +85,11 @@ class DetectorConfig:
     # DocLayout-YOLO GL-CRM backbone blocks (the DocStructBench checkpoint
     # is this architecture, not base v10 — arXiv 2410.12628)
     glcrm: bool = True
+    # Route GL-CRM inner 3x3 convs with <= this many channels through the
+    # Pallas spatial-on-lanes conv kernel (kernels/conv.py); 0 = XLA convs.
+    # The low-channel convs run ~10% MFU under XLA (round-2 trace); gate by
+    # measurement (bench.py --pallas-convs N).
+    pallas_convs: int = 0
     # Stage-1 multigrid path: letterbox all 30 views on device (matmul
     # resize) instead of per-view host resizes — one extra extraction
     # program compile per distinct page shape (persistently cached), large

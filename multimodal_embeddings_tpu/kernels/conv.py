@@ -38,21 +38,25 @@ ROWS = 8  # output rows per grid step (sublane alignment unit)
 
 
 def _conv3x3_kernel(
-    x_ref, w_ref, b_ref, o_ref, patch_ref, *, act: str, h: int, rows: int
+    x_ref, w_ref, b_ref, o_ref, patch_ref, *, act: str, h: int, rows: int,
+    dilation: int = 1,
 ):
-    """Grid (N, H/rows). x_ref: (1, C, H+rows+16, W) padded image (``rows``
-    zero rows on top, 16 below); o_ref: (1, Cout, rows, W) aligned output
-    group; patch scratch: (9·C, rows·W)."""
+    """Grid (N, H/rows). x_ref: (1, C, H+blk, W) padded image (``rows``
+    zero rows on top, blk-rows below); o_ref: (1, Cout, rows, W) aligned
+    output group; patch scratch: (9·C, rows·W). ``dilation`` moves the taps
+    to ±d (SAME semantics with pad=d) — the GL-CRM blocks' "global
+    perception" conv is a d=2 dilated 3×3 (layers.py::CRMBottleneck)."""
     ROWS = rows
+    d = dilation
     c = x_ref.shape[1]
     w = x_ref.shape[3]
     hi = pl.program_id(1)
     base = hi * ROWS
 
     # one aligned load covering every row this group needs: output
-    # y = base+r takes padded rows base+r+ROWS-1 .. base+r+ROWS+1, all
-    # inside [base, base+blk) with blk = ceil8(2·ROWS+1)
-    blk = -(-(2 * ROWS + 1) // 8) * 8
+    # y = base+r takes padded rows base+r+ROWS-d .. base+r+ROWS+d, all
+    # inside [base, base+blk) with blk = ceil8(2·ROWS+d)
+    blk = -(-(2 * ROWS + d) // 8) * 8
     block = x_ref[0, :, pl.ds(base, blk), :]  # (C, blk, W)
 
     # column index within each W-row of the flattened (C, ROWS·W) layout
@@ -61,28 +65,27 @@ def _conv3x3_kernel(
     )
     for dy in range(3):
         # the dy-plane for ALL output rows at once: padded rows
-        # [ROWS-1+dy, 2·ROWS-1+dy) flattened row-major to (C, ROWS·W) —
-        # exactly the patch column layout (r, x)
-        sub = block[:, ROWS - 1 + dy : 2 * ROWS - 1 + dy, :].reshape(
-            c, ROWS * w
-        )
-        for dx in (-1, 0, 1):
+        # [ROWS+(dy-1)·d, 2·ROWS+(dy-1)·d) flattened row-major to
+        # (C, ROWS·W) — exactly the patch column layout (r, x)
+        lo = ROWS + (dy - 1) * d
+        sub = block[:, lo : lo + ROWS, :].reshape(c, ROWS * w)
+        for dxi, dx in enumerate((-d, 0, d)):
             # position x reads input x+dx. One roll over the flattened
             # axis serves every row: the wrap leaks only into each row's
-            # edge column, which the SAME-padding mask zeroes anyway.
+            # d edge columns, which the SAME-padding mask zeroes anyway.
             # Mosaic only rotates 32-bit data — round-trip through f32
             # (exact for bf16).
             if dx:
                 v = pltpu.roll(
                     sub.astype(jnp.float32), (-dx) % (ROWS * w), axis=1
                 ).astype(sub.dtype)
-                if dx == 1:
-                    v = jnp.where(colw < w - 1, v, 0)
+                if dx > 0:
+                    v = jnp.where(colw < w - d, v, 0)
                 else:
-                    v = jnp.where(colw >= 1, v, 0)
+                    v = jnp.where(colw >= d, v, 0)
             else:
                 v = sub
-            patch_ref[pl.ds((dy * 3 + dx + 1) * c, c), :] = v
+            patch_ref[pl.ds((dy * 3 + dxi) * c, c), :] = v
 
     acc = jnp.dot(
         w_ref[...], patch_ref[...], preferred_element_type=jnp.float32
@@ -103,7 +106,9 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret", "rows"))
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "rows", "dilation")
+)
 def conv3x3_nchw(
     x: jnp.ndarray,  # (N, C, H, W)
     w: jnp.ndarray,  # (Cout, C, 3, 3)
@@ -112,30 +117,35 @@ def conv3x3_nchw(
     act: str = "none",  # "none" | "silu"
     interpret: bool | None = None,
     rows: int = ROWS,  # output rows per grid step (multiple of 8)
+    dilation: int = 1,  # tap spacing (SAME with pad=dilation); must be <= rows
 ) -> jnp.ndarray:
     """Stride-1 SAME 3×3 conv (+ optional bias/SiLU) in NCHW layout."""
     if interpret is None:
         interpret = not _on_tpu()
+    assert dilation <= rows, (dilation, rows)
     n, c, h, width = x.shape
     cout = w.shape[0]
     if h % rows:
         pad_h = rows - h % rows
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
         return conv3x3_nchw(
-            xp, w, bias, act=act, interpret=interpret, rows=rows
+            xp, w, bias, act=act, interpret=interpret, rows=rows,
+            dilation=dilation,
         )[:, :, :h, :]
     # (Cout, 9·C) with patch-row order (dy, dx, ci)
     w_flat = jnp.transpose(w, (0, 2, 3, 1)).reshape(cout, 9 * c)
     b = jnp.zeros((cout, 1), jnp.float32) if bias is None else bias.reshape(cout, 1)
     # zero-padding for SAME semantics + alignment: ``rows`` rows on top
-    # (so row y-1 of group r=0 sits at padded index base+rows-1) and
+    # (so row y-d of group r=0 sits at padded index base+rows-d) and
     # enough below that the last group's aligned blk-row load stays in
-    # bounds (blk = ceil8(2·rows+1), matching the kernel's load)
-    blk = -(-(2 * rows + 1) // 8) * 8
+    # bounds (blk = ceil8(2·rows+dilation), matching the kernel's load)
+    blk = -(-(2 * rows + dilation) // 8) * 8
     xpad = jnp.pad(x, ((0, 0), (0, 0), (rows, blk - rows), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_conv3x3_kernel, act=act, h=h, rows=rows),
+        functools.partial(
+            _conv3x3_kernel, act=act, h=h, rows=rows, dilation=dilation
+        ),
         grid=(n, h // rows),
         in_specs=[
             pl.BlockSpec((1, c, h + blk, width), lambda i, j: (i, 0, 0, 0)),
@@ -155,13 +165,14 @@ def conv3x3_nchw(
     return out
 
 
-def conv3x3_reference(x, w, bias=None, act="none"):
+def conv3x3_reference(x, w, bias=None, act="none", dilation=1):
     """lax.conv oracle in the same NCHW convention (for tests/benches)."""
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32),
         w.astype(jnp.float32),
         window_strides=(1, 1),
-        padding="SAME",
+        padding=[(dilation, dilation)] * 2,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     if bias is not None:

@@ -89,6 +89,7 @@ class LayoutDetector:
             variant=config.variant,
             s2d_stem=config.s2d_stem,
             glcrm=config.glcrm,
+            pallas_convs=config.pallas_convs,
             dtype=dtype,
         )
         example = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)

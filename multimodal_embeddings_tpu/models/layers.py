@@ -170,6 +170,72 @@ class CIB(nn.Module):
         return y
 
 
+class _ConvKernelParam(nn.Module):
+    """Declares exactly ``nn.Conv(use_bias=False)``'s parameter ("kernel",
+    HWIO) without the conv call — lets an alternative compute path (the
+    Pallas NCHW conv) share one checkpoint tree with the NHWC modules."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, self.in_channels, self.out_channels),
+        )
+
+
+class _BnParams(nn.Module):
+    """Declares exactly ``nn.BatchNorm``'s variables (params scale/bias +
+    batch_stats mean/var) without the normalization call."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats",
+            "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _FoldedConvBn(nn.Module):
+    """ConvBnAct's parameter tree (conv/kernel + bn/*) folded for inference:
+    returns OIHW weights and a bias with the BatchNorm scale/shift baked in
+    (``w·γ/σ``, ``β − μ·γ/σ``), ready for the fused-epilogue Pallas conv.
+    Same scope names ("conv", "bn") as ConvBnAct, so the same init / port
+    map produces bit-identical parameter values for either compute path."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = _ConvKernelParam(
+            self.in_channels, self.out_channels, name="conv"
+        )()
+        scale, bias, mean, var = _BnParams(self.out_channels, name="bn")()
+        # matches ConvBnAct's nn.BatchNorm(epsilon=1e-3)
+        rstd = jax.lax.rsqrt(var.astype(jnp.float32) + 1e-3)
+        g = scale.astype(jnp.float32) * rstd
+        w = kernel.astype(jnp.float32) * g  # broadcast over out axis (last)
+        b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * g
+        return jnp.transpose(w, (3, 2, 0, 1)), b  # OIHW
+
+
 class CRMBottleneck(nn.Module):
     """Controllable-receptive bottleneck — the inner block of DocLayout-
     YOLO's global-to-local controllable receptive module (GL-CRM).
@@ -191,16 +257,43 @@ class CRMBottleneck(nn.Module):
     out_channels: int
     shortcut: bool = True
     dilation: int = 2
+    pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.out_channels
+        if self.pallas and not train:
+            return self._pallas_forward(x)
         y = ConvBnAct(
             c, 3, dilation=self.dilation, dtype=self.dtype, name="cv1"
         )(x, train)  # global (dilated) perception
         y = ConvBnAct(c, 3, dtype=self.dtype, name="cv2")(y, train)  # local
         gate = nn.Conv(c, (1, 1), dtype=self.dtype, name="gate")(x)
+        y = y * nn.sigmoid(gate)
+        if self.shortcut and x.shape[-1] == c:
+            return x + y
+        return y
+
+    def _pallas_forward(self, x):
+        """Inference path through the Pallas spatial-on-lanes conv kernel
+        (``kernels/conv.py``): the two chained 3×3 convs — 81% of page
+        device time in the round-2 trace, at ~10% MFU under XLA because
+        their 48/96 channel counts waste MXU lanes — run NCHW with the
+        BatchNorm folded into the weights and the bias+SiLU epilogue fused.
+        One layout round-trip per block; identical parameter tree."""
+        from multimodal_embeddings_tpu.kernels.conv import conv3x3_nchw
+
+        c = self.out_channels
+        w1, b1 = _FoldedConvBn(x.shape[-1], c, name="cv1")()
+        w2, b2 = _FoldedConvBn(c, c, name="cv2")()
+        gate = nn.Conv(c, (1, 1), dtype=self.dtype, name="gate")(x)
+        xt = jnp.transpose(x.astype(self.dtype), (0, 3, 1, 2))
+        y = conv3x3_nchw(
+            xt, w1.astype(self.dtype), b1, act="silu", dilation=self.dilation
+        )
+        y = conv3x3_nchw(y, w2.astype(self.dtype), b2, act="silu")
+        y = jnp.transpose(y, (0, 2, 3, 1))
         y = y * nn.sigmoid(gate)
         if self.shortcut and x.shape[-1] == c:
             return x + y
@@ -218,6 +311,9 @@ class G2L_CRM(nn.Module):
     dilation: int = 2
     shortcut: bool = True
     expansion: float = 0.5
+    # use the Pallas NCHW conv path in the inner blocks when their channel
+    # count is <= this (0 disables; 48/96 are the measured-win widths)
+    pallas_max_channels: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -231,6 +327,7 @@ class G2L_CRM(nn.Module):
                     c,
                     shortcut=self.shortcut,
                     dilation=self.dilation,
+                    pallas=0 < c <= self.pallas_max_channels,
                     dtype=self.dtype,
                     name=f"m{i}",
                 )(parts[-1], train)

@@ -76,6 +76,7 @@ class Backbone(nn.Module):
     scale: YoloScale
     s2d_stem: bool = False
     glcrm: bool = False
+    pallas_convs: int = 0  # max CRM inner channels routed to the Pallas conv
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,7 +86,8 @@ class Backbone(nn.Module):
         def csp(ch, n, dilation, name):
             if self.glcrm:
                 return G2L_CRM(
-                    ch, n, dilation=dilation, shortcut=True, dtype=dt, name=name
+                    ch, n, dilation=dilation, shortcut=True,
+                    pallas_max_channels=self.pallas_convs, dtype=dt, name=name
                 )
             return C2f(ch, n, shortcut=True, dtype=dt, name=name)
 
@@ -185,6 +187,7 @@ class DocLayoutYOLO(nn.Module):
     variant: str = "m"
     s2d_stem: bool = False
     glcrm: bool = False
+    pallas_convs: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -196,6 +199,7 @@ class DocLayoutYOLO(nn.Module):
             scale,
             s2d_stem=self.s2d_stem,
             glcrm=self.glcrm,
+            pallas_convs=self.pallas_convs,
             dtype=self.dtype,
             name="backbone",
         )(x, train)

@@ -66,6 +66,36 @@ def test_conv3x3_bf16():
     )
 
 
+@pytest.mark.parametrize("dilation", [2, 4])
+@pytest.mark.parametrize("n,c,co,h,w", [(2, 8, 8, 24, 128), (1, 4, 8, 16, 256)])
+def test_conv3x3_dilated_matches_lax(dilation, n, c, co, h, w):
+    """Dilated taps (GL-CRM's cv1 'global perception' conv is a d=2 3x3,
+    layers.py::CRMBottleneck; c2f_4 uses d=4)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(n, c, h, w)).astype(np.float32))
+    kw = jnp.asarray(rng.normal(size=(co, c, 3, 3)).astype(np.float32) * 0.1)
+    got = conv3x3_nchw(x, kw, interpret=True, dilation=dilation)
+    want = conv3x3_reference(x, kw, dilation=dilation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv3x3_dilated_edge_zero_padding():
+    """Border mass with d=2 checks the two-column roll-leak masking and the
+    dilated row halo."""
+    c, co, h, w = 4, 4, 16, 128
+    x = np.zeros((1, c, h, w), np.float32)
+    x[:, :, :2, :] = 1.0
+    x[:, :, -2:, :] = 2.0
+    x[:, :, :, :2] = 3.0
+    x[:, :, :, -2:] = 4.0
+    kw = np.full((co, c, 3, 3), 0.5, np.float32)
+    got = conv3x3_nchw(
+        jnp.asarray(x), jnp.asarray(kw), interpret=True, dilation=2
+    )
+    want = conv3x3_reference(jnp.asarray(x), jnp.asarray(kw), dilation=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 @pytest.mark.parametrize("rows", [8, 16])
 def test_conv3x3_rows_parameter(rows):
     rng = np.random.default_rng(3)

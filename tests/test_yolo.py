@@ -277,3 +277,93 @@ class TestGLCRM:
         assert not np.allclose(np.asarray(yb), np.asarray(yc))
         yc2 = crm.apply(vc, x, train=False)[0][1]
         np.testing.assert_array_equal(np.asarray(yc), np.asarray(yc2))
+
+
+class TestPallasConvs:
+    """CRM inner convs routed through the Pallas spatial-on-lanes kernel
+    (kernels/conv.py) — checkpoint-tree-identical, output-equivalent to the
+    XLA NHWC path with the BatchNorm folded (interpret mode on CPU)."""
+
+    def test_crm_block_tree_and_outputs_match(self):
+        import jax.tree_util as jtu
+
+        from multimodal_embeddings_tpu.models.layers import CRMBottleneck
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+        plain = CRMBottleneck(out_channels=8, dilation=2)
+        pallas = CRMBottleneck(out_channels=8, dilation=2, pallas=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        tree_a = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(variables)
+        }
+        tree_b = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(
+                pallas.init(jax.random.PRNGKey(0), x)
+            )
+        }
+        assert tree_a == tree_b
+        # same seed -> same values for either declaration order
+        va = jtu.tree_leaves(variables)
+        vb = jtu.tree_leaves(pallas.init(jax.random.PRNGKey(0), x))
+        for a, b in zip(va, vb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out_a = plain.apply(variables, x, train=False)
+        out_b = pallas.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-4
+        )
+
+    def test_crm_block_nontrivial_bn_stats(self):
+        """Non-default BN stats exercise the folding arithmetic."""
+        from flax.core import unfreeze
+
+        from multimodal_embeddings_tpu.models.layers import CRMBottleneck
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+        plain = CRMBottleneck(out_channels=8, dilation=2)
+        pallas = CRMBottleneck(out_channels=8, dilation=2, pallas=True)
+        variables = unfreeze(plain.init(jax.random.PRNGKey(1), x))
+        for cv in ("cv1", "cv2"):
+            bn = variables["batch_stats"][cv]["bn"]
+            bn["mean"] = jnp.asarray(
+                rng.normal(size=bn["mean"].shape).astype(np.float32)
+            )
+            bn["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, bn["var"].shape).astype(np.float32)
+            )
+            pr = variables["params"][cv]["bn"]
+            pr["scale"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, pr["scale"].shape).astype(np.float32)
+            )
+            pr["bias"] = jnp.asarray(
+                rng.normal(size=pr["bias"].shape).astype(np.float32)
+            )
+        out_a = plain.apply(variables, x, train=False)
+        out_b = pallas.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-4
+        )
+
+    def test_full_model_outputs_match(self):
+        """Whole GL-CRM detector with pallas_convs routes c2f_2/c2f_3 inner
+        blocks through the kernel and matches the XLA path from the same
+        checkpoint."""
+        model_a = DocLayoutYOLO(num_classes=10, variant="n", glcrm=True)
+        model_b = DocLayoutYOLO(
+            num_classes=10, variant="n", glcrm=True, pallas_convs=96
+        )
+        x = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, (1, 128, 128, 3)).astype(
+                np.float32
+            )
+        )
+        variables = deterministic_init(model_a, x, seed=0)
+        out_a = model_a.apply(variables, x, train=False)
+        out_b = model_b.apply(variables, x, train=False)
+        for (ra, ca), (rb, cb) in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-3)
