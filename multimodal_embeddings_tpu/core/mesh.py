@@ -80,7 +80,7 @@ def make_hybrid_mesh(
     per_host = len(host_groups[0])
     if any(len(g) != per_host for g in host_groups):
         raise ValueError("hosts must contribute equal device counts")
-    _, model_size = config.shape
+    req_data_size, model_size = config.shape
     if model_size < 1 or per_host % model_size:
         raise ValueError(
             f"model={model_size} must divide the {per_host} devices per "
@@ -89,6 +89,14 @@ def make_hybrid_mesh(
     # host-major ordering: data axis = (host, local_data) flattened
     ordered = [d for g in host_groups for d in g]
     data_size = len(ordered) // model_size
+    if req_data_size not in (-1, data_size):
+        # unlike make_mesh, the hybrid layout cannot drop devices without
+        # breaking the host-major (host, local_data) factorization — an
+        # explicit smaller data size would silently be ignored otherwise
+        raise ValueError(
+            f"hybrid mesh uses all {len(ordered)} devices: data size must "
+            f"be -1 or {data_size}, got {req_data_size}"
+        )
     mesh_devices = np.asarray(ordered).reshape(data_size, model_size)
     return Mesh(mesh_devices, (config.data_axis, config.model_axis))
 

@@ -233,6 +233,11 @@ def int8_apply(x: jnp.ndarray, qt: QTensor, *, use_kernel: bool | None = None) -
     if use_kernel:
         out = int8_matmul(x2, qt.q, qt.scale, interpret=False)
     else:
-        w = qt.q.astype(x.dtype) * qt.scale.astype(x.dtype)
+        # dequantize in f32 like the Pallas kernel (which multiplies the
+        # f32 scales into the f32 accumulator) so the CPU path the parity
+        # tests lock shares the TPU path's rounding behavior
+        w = (qt.q.astype(jnp.float32) * qt.scale.astype(jnp.float32)).astype(
+            x.dtype
+        )
         out = x2 @ w
     return out.reshape(*lead, qt.q.shape[-1])

@@ -109,8 +109,27 @@ class MultimodalEmbedder:
             self._init_args = example
 
         quantized = config.family == "mme5" and self.model_config.quantize
+        if quantized and not config.weights_path:
+            # build the int8 tree directly (synthetic_int8_init): the f32
+            # twin of the 11B config is a ~44GB host tree and closing it
+            # over a jitted program is the documented remote-compiler
+            # killer — only a real checkpoint load needs the twin
+            from multimodal_embeddings_tpu.models.quantized import (
+                synthetic_int8_init,
+            )
+
+            variables = synthetic_int8_init(self.model, self._init_args, seed=seed)
+            logger.warning(
+                "embedder (%s, int8) running with synthetic quantized "
+                "weights (no checkpoint configured)",
+                config.family,
+            )
+            self.variables = psharding.unbox(variables)
+            self._image_fn = None
+            self._text_fn = None
+            return
         if quantized:
-            # init/load the f32 twin, then convert: Int8DenseGeneral params
+            # load the f32 twin, then convert: Int8DenseGeneral params
             # initialize to zeros — real values only exist post-conversion
             import dataclasses as _dc
 

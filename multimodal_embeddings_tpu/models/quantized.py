@@ -66,10 +66,13 @@ class Int8DenseGeneral(nn.Module):
             x.astype(self.dtype).reshape(*lead, in_f),
             QTensor(q=q, scale=jnp.asarray(scale)),
         )
+        y = y.reshape(*lead, *feats)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (out_f,))
+            # feats-shaped like nn.DenseGeneral's, so fp-tree biases carry
+            # over unchanged through quantize_dense_tree
+            bias = self.param("bias", nn.initializers.zeros, feats)
             y = y + jnp.asarray(bias, y.dtype)
-        return y.reshape(*lead, *feats)
+        return y
 
 
 def quantize_dense_tree(src_params, target_struct):
@@ -109,6 +112,43 @@ def quantize_dense_tree(src_params, target_struct):
         return tree
 
     return convert(plain(src_params), plain(target_struct))
+
+
+def synthetic_int8_init(model, example_args: Sequence, seed: int = 0):
+    """Deterministic synthetic variables for a quantized model WITHOUT
+    materializing the full-precision twin.
+
+    ``MultimodalEmbedder(quantize=True)`` without a checkpoint previously
+    initialized the f32 twin (~44GB host tree for the 11B config) just to
+    quantize it; this builds the int8 tree directly from ``eval_shape``
+    (the same approach ``scripts/int8_11b_smoke.py`` validated on chip):
+    int8 leaves get a deterministic uniform fill, float leaves a small
+    random normal (bf16 for >1e6-element tables — HBM is the scarce
+    resource), ints/bools zeros. Capacity/latency-faithful, accuracy
+    gated on a real checkpoint like every other synthetic init here.
+    """
+    import ml_dtypes
+
+    struct = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, *example_args)
+    )
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        if leaf.dtype == jnp.int8:
+            return rng.integers(-127, 128, leaf.shape, np.int8)
+        if str(leaf.dtype).startswith(("float", "bfloat")):
+            dt = (
+                ml_dtypes.bfloat16
+                if np.prod(leaf.shape, dtype=np.int64) > 1e6
+                else np.float32
+            )
+            if leaf.shape and leaf.shape[-1:] == leaf.shape:  # 1-D: scales/LN
+                return np.ones(leaf.shape, dt) * np.float32(0.02)
+            return (rng.standard_normal(leaf.shape) * 0.02).astype(dt)
+        return np.zeros(leaf.shape, jax.dtypes.canonicalize_dtype(leaf.dtype))
+
+    return jax.tree.map(fill, struct)
 
 
 def param_bytes(params) -> int:
