@@ -62,7 +62,7 @@ def pp_greedy_generate(
     """
     cfg = config.text
     params = variables["params"]
-    block = QwenBlock(cfg, dtype=jnp.float32)
+    block = QwenBlock(cfg, dtype=jnp.float32, quantize=config.quantize)
     layer_params = _split_layer_params(params, cfg.layers)
     stacked = stack_layer_params(layer_params, n_stages)
 
@@ -73,11 +73,27 @@ def pp_greedy_generate(
 
     embed_table = jnp.asarray(params["tok_embed"]["embedding"])
     norm = RMSNorm(dtype=jnp.float32)
-    lm_kernel = jnp.asarray(params["lm_head"]["kernel"])
+    if config.quantize:
+        from multimodal_embeddings_tpu.kernels.quantization import (
+            QTensor,
+            int8_apply,
+        )
 
-    def head(x):
-        x = norm.apply({"params": params["final_norm"]}, x)
-        return x @ lm_kernel
+        lm_qt = QTensor(
+            q=jnp.asarray(params["lm_head"]["kernel_q"]),
+            scale=jnp.asarray(params["lm_head"]["kernel_scale"]),
+        )
+
+        def head(x):
+            x = norm.apply({"params": params["final_norm"]}, x)
+            return int8_apply(x, lm_qt)
+
+    else:
+        lm_kernel = jnp.asarray(params["lm_head"]["kernel"])
+
+        def head(x):
+            x = norm.apply({"params": params["final_norm"]}, x)
+            return x @ lm_kernel
 
     # --- prefill: full causal pass, caches captured as pipeline state ---
     position_ids, delta = qwen_mrope_position_ids(

@@ -86,6 +86,12 @@ class QwenVLConfig:
     text: QwenTextConfig = dataclasses.field(default_factory=QwenTextConfig)
     image_pad_id: int = 151655  # <|image_pad|>
     eos_id: int = 151645  # <|im_end|>
+    # int8 weight-only serving for the decoder Dense kernels + lm_head
+    # (models/quantized.py) — the TPU-native counterpart of the notebook's
+    # bitsandbytes 4-bit (32B) / 8-bit (7B) loads, cell ``39512aca``. The
+    # vision tower (~0.7B) stays bf16: it is <3% of 32B-scale parameters
+    # and its window-attention access patterns gain nothing from int8.
+    quantize: bool = False
 
     @classmethod
     def qwen25_vl_7b(cls) -> "QwenVLConfig":
@@ -98,6 +104,34 @@ class QwenVLConfig:
                 hidden=2048, layers=36, heads=16, kv_heads=2, mlp_hidden=11008
             )
         )
+
+    @classmethod
+    def qwen25_vl_32b(cls) -> "QwenVLConfig":
+        """The notebook's flagship configuration (cell ``39512aca`` loads
+        ``Qwen/Qwen2.5-VL-32B-Instruct`` with 4-bit quantization). Published
+        Qwen2.5-32B decoder layout: hidden 5120, 64 layers, 40 query / 8 KV
+        heads, SwiGLU intermediate 27648, 152064-token vocabulary; the
+        vision tower is the family-shared 1280-wide 32-layer design.
+
+        Single-chip fit math (16GB v5e): 32.8B decoder+head params → 32.8GB
+        int8 — does NOT fit one chip; serve int8 + pipeline-parallel
+        (``models/qwen_pp.py``): 4 stages × 16 layers ≈ 8.2GB weights/stage
+        + vision (1.3GB bf16, stage 0) + KV cache (bf16, 4096 ctx ≈
+        0.7GB/stage) ≈ 10GB/chip peak. bf16 without PP would need 66GB."""
+        return cls(
+            text=QwenTextConfig(
+                vocab_size=152064,
+                hidden=5120,
+                layers=64,
+                heads=40,
+                kv_heads=8,
+                mlp_hidden=27648,
+            )
+        )
+
+    @classmethod
+    def qwen25_vl_32b_int8(cls) -> "QwenVLConfig":
+        return dataclasses.replace(cls.qwen25_vl_32b(), quantize=True)
 
     @classmethod
     def tiny(cls) -> "QwenVLConfig":
@@ -337,44 +371,50 @@ class QwenVisionTower(nn.Module):
 
 
 class QwenBlock(nn.Module):
-    """Qwen2 decoder block: RMSNorm + GQA attention (QKV bias) + SwiGLU."""
+    """Qwen2 decoder block: RMSNorm + GQA attention (QKV bias) + SwiGLU.
+
+    ``quantize=True`` stores every Dense kernel int8 with per-channel f32
+    scales (``models/quantized.py``), the TPU-native counterpart of the
+    notebook's 4/8-bit bitsandbytes serving (cell ``39512aca``)."""
 
     config: QwenTextConfig
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, mask=None, cache=None, position=None):
         cfg = self.config
+        if self.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            dense = lambda feat, name, axes, bias=True, ax=-1: (  # noqa: E731
+                Int8DenseGeneral(
+                    features=feat, axis=ax, use_bias=bias, dtype=self.dtype,
+                    name=name,
+                )
+            )
+        else:
+            dense = lambda feat, name, axes, bias=True, ax=-1: (  # noqa: E731
+                nn.DenseGeneral(
+                    feat,
+                    axis=ax,
+                    use_bias=bias,
+                    kernel_init=nn.with_logical_partitioning(
+                        nn.initializers.normal(stddev=0.02), axes
+                    ),
+                    dtype=self.dtype,
+                    name=name,
+                )
+            )
         h = RMSNorm(dtype=self.dtype, name="attn_norm")(x)
-        q = nn.DenseGeneral(
-            (cfg.heads, cfg.head_dim),
-            axis=-1,
-            use_bias=True,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.normal(stddev=0.02), (EMBED, HEADS, HEAD_DIM)
-            ),
-            dtype=self.dtype,
-            name="q",
+        q = dense((cfg.heads, cfg.head_dim), "q", (EMBED, HEADS, HEAD_DIM))(h)
+        k = dense(
+            (cfg.kv_heads, cfg.head_dim), "k", (EMBED, KV_HEADS, HEAD_DIM)
         )(h)
-        k = nn.DenseGeneral(
-            (cfg.kv_heads, cfg.head_dim),
-            axis=-1,
-            use_bias=True,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.normal(stddev=0.02), (EMBED, KV_HEADS, HEAD_DIM)
-            ),
-            dtype=self.dtype,
-            name="k",
-        )(h)
-        v = nn.DenseGeneral(
-            (cfg.kv_heads, cfg.head_dim),
-            axis=-1,
-            use_bias=True,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.normal(stddev=0.02), (EMBED, KV_HEADS, HEAD_DIM)
-            ),
-            dtype=self.dtype,
-            name="v",
+        v = dense(
+            (cfg.kv_heads, cfg.head_dim), "v", (EMBED, KV_HEADS, HEAD_DIM)
         )(h)
 
         # cos/sin are the per-token M-RoPE tables for THIS call:
@@ -395,19 +435,16 @@ class QwenBlock(nn.Module):
             )
             attn = sdpa(q, k_cache, v_cache, mask=valid)
 
-        h = nn.DenseGeneral(
-            x.shape[-1],
-            axis=(-2, -1),
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.normal(stddev=0.02), (HEADS, HEAD_DIM, EMBED)
-            ),
-            dtype=self.dtype,
-            name="o",
+        h = dense(
+            x.shape[-1], "o", (HEADS, HEAD_DIM, EMBED), bias=False,
+            ax=(-2, -1),
         )(attn)
         x = x + h
         h = RMSNorm(dtype=self.dtype, name="mlp_norm")(x)
-        x = x + SwiGLU(cfg.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        x = x + SwiGLU(
+            cfg.mlp_hidden, dtype=self.dtype, quantize=self.quantize,
+            name="mlp",
+        )(h)
         return x, new_cache
 
 
@@ -431,19 +468,28 @@ class QwenVLModel(nn.Module):
             name="tok_embed",
         )
         self.blocks = [
-            QwenBlock(cfg.text, self.dtype, name=f"layer{i}")
+            QwenBlock(cfg.text, self.dtype, quantize=cfg.quantize, name=f"layer{i}")
             for i in range(cfg.text.layers)
         ]
         self.final_norm = RMSNorm(dtype=self.dtype, name="final_norm")
-        self.lm_head = nn.Dense(
-            cfg.text.vocab_size,
-            use_bias=False,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.normal(stddev=0.02), (EMBED, VOCAB)
-            ),
-            dtype=self.dtype,
-            name="lm_head",
-        )
+        if cfg.quantize:
+            from multimodal_embeddings_tpu.models.quantized import (
+                Int8DenseGeneral,
+            )
+
+            self.lm_head = Int8DenseGeneral(
+                features=cfg.text.vocab_size, dtype=self.dtype, name="lm_head"
+            )
+        else:
+            self.lm_head = nn.Dense(
+                cfg.text.vocab_size,
+                use_bias=False,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.normal(stddev=0.02), (EMBED, VOCAB)
+                ),
+                dtype=self.dtype,
+                name="lm_head",
+            )
 
     def _merged_grid(self, images) -> Optional[Tuple[int, int]]:
         if images is None:

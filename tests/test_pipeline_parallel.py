@@ -282,3 +282,42 @@ def test_pp_greedy_generate_matches_single_device(devices8):
         max_new_tokens=4,
     )
     np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_pp_greedy_generate_quantized(devices8):
+    """The 32B serving plan: int8 weights through the PP ring. The pipelined
+    int8 decode must reproduce the single-device int8 greedy_generate
+    token-for-token (same kernels, same rounding)."""
+    import dataclasses
+
+    from multimodal_embeddings_tpu.models.qwen_pp import pp_greedy_generate
+    from multimodal_embeddings_tpu.models.quantized import quantize_dense_tree
+    from multimodal_embeddings_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLModel,
+        greedy_generate,
+    )
+
+    config = QwenVLConfig.tiny()
+    qconfig = dataclasses.replace(config, quantize=True)
+    model = QwenVLModel(config, dtype=jnp.float32)
+    qmodel = QwenVLModel(qconfig, dtype=jnp.float32)
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(10, config.text.vocab_size, (2, 6)).astype(np.int32)
+
+    variables = unbox(model.init(jax.random.key(3), jnp.asarray(prompt)))
+    target = jax.eval_shape(
+        lambda: qmodel.init(jax.random.key(3), jnp.asarray(prompt))
+    )
+    qvars = {
+        "params": quantize_dense_tree(
+            variables["params"], unbox(target)["params"]
+        )
+    }
+
+    ref = greedy_generate(qmodel, qvars, prompt, images=None, max_new_tokens=4)
+    mesh = make_pp_mesh(2, devices8)
+    got = pp_greedy_generate(
+        qconfig, qvars, prompt, mesh=mesh, n_stages=2, max_new_tokens=4
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref))

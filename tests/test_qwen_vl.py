@@ -307,3 +307,110 @@ class TestDynamicResolution:
         html, in_h, in_w = parser.parse(img_path, max_new_tokens=6)
         assert (in_h, in_w) == (28, 56)  # 1x2 merged grid, aspect kept
         assert isinstance(html, str)
+
+
+class TestQuantized:
+    """int8 weight-only Qwen serving (models/quantized.py through
+    QwenBlock/lm_head) — the TPU-native counterpart of the notebook's
+    bitsandbytes 4/8-bit loads (cell 39512aca)."""
+
+    def _pair(self):
+        import dataclasses
+
+        from flax.linen import unbox
+        from multimodal_embeddings_tpu.models.quantized import (
+            quantize_dense_tree,
+        )
+
+        config = QwenVLConfig.tiny()
+        qconfig = dataclasses.replace(config, quantize=True)
+        model = QwenVLModel(config, dtype=jnp.float32)
+        qmodel = QwenVLModel(qconfig, dtype=jnp.float32)
+        rng = np.random.default_rng(11)
+        prompt = rng.integers(10, config.text.vocab_size, (2, 8)).astype(np.int32)
+        variables = unbox(model.init(jax.random.PRNGKey(7), jnp.asarray(prompt)))
+        target = jax.eval_shape(
+            lambda: qmodel.init(jax.random.PRNGKey(7), jnp.asarray(prompt))
+        )
+        qvars = {
+            "params": quantize_dense_tree(
+                variables["params"], unbox(target)["params"]
+            )
+        }
+        return model, qmodel, variables, qvars, prompt
+
+    def test_quantized_tree_structure(self):
+        model, qmodel, variables, qvars, prompt = self._pair()
+        lm = qvars["params"]["lm_head"]
+        assert lm["kernel_q"].dtype == jnp.int8
+        assert lm["kernel_scale"].shape == (1, model.config.text.vocab_size)
+        blk = qvars["params"]["layer0"]
+        assert blk["q"]["kernel_q"].dtype == jnp.int8
+        assert blk["mlp"]["gate"]["kernel_q"].dtype == jnp.int8
+        # biases carried over from the fp tree
+        np.testing.assert_array_equal(
+            np.asarray(blk["q"]["bias"]),
+            np.asarray(variables["params"]["layer0"]["q"]["bias"]),
+        )
+
+    def test_quantized_logits_close_to_fp(self):
+        model, qmodel, variables, qvars, prompt = self._pair()
+        ref, _, _ = model.apply(variables, jnp.asarray(prompt), None)
+        got, _, _ = qmodel.apply(qvars, jnp.asarray(prompt), None)
+        ref = np.asarray(ref, np.float64).reshape(-1, ref.shape[-1])
+        got = np.asarray(got, np.float64).reshape(-1, got.shape[-1])
+        cos = np.sum(ref * got, -1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+        )
+        assert cos.min() > 0.99, cos.min()
+
+    def test_quantized_generate_runs(self):
+        model, qmodel, variables, qvars, prompt = self._pair()
+        out = greedy_generate(qmodel, qvars, prompt, max_new_tokens=4)
+        assert out.shape == (2, 4)
+        assert np.all(out >= 0) and np.all(out < model.config.text.vocab_size)
+
+
+class TestFullSizeConfigs:
+    def test_qwen25_vl_32b_is_32b(self):
+        """The flagship notebook configuration (32B with 4-bit quant) must
+        actually be a ~32B-parameter decoder (abstract eval)."""
+        config = QwenVLConfig.qwen25_vl_32b()
+        model = QwenVLModel(config, dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), None
+            )
+        )
+        n = sum(
+            int(np.prod(l.shape)) for l in jax.tree.leaves(shapes["params"])
+        )
+        assert 30e9 < n < 36e9, n
+
+    def test_qwen25_vl_32b_int8_fit_math(self):
+        """int8 + 4-stage PP must fit 16GB/chip (the serving plan in the
+        config docstring): per-stage weight bytes < 11GB."""
+        import dataclasses
+
+        config = QwenVLConfig.qwen25_vl_32b_int8()
+        assert config.quantize
+        model = QwenVLModel(config, dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), None
+            )
+        )
+        params = shapes["params"]
+        bytes_total = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree.leaves(params)
+        )
+        # decoder layers dominate; a 4-stage split carries ~1/4 of them
+        layer_bytes = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for i in range(config.text.layers)
+            for l in jax.tree.leaves(params[f"layer{i}"])
+        )
+        stage0_extra = bytes_total - layer_bytes  # embed+head+vision
+        per_stage = layer_bytes / 4 + stage0_extra
+        assert per_stage < 11 * 2**30, per_stage / 2**30
