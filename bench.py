@@ -71,6 +71,7 @@ def build_pipeline(
     family: str = "siglip",
     mme5_chunk: int = 8,
     pallas_convs: int = 0,
+    letterbox: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -192,11 +193,13 @@ def build_pipeline(
         from multimodal_embeddings_tpu.pipeline.fused import build_fused_batch_fn
 
         fused = build_fused_batch_fn(
-            detector, embedder, page_hw, num_regions=n_regions
+            detector, embedder, page_hw, num_regions=n_regions,
+            letterbox=letterbox,
         )
     else:
         fused = build_fused_page_fn(
-            detector, embedder, page_hw, num_regions=n_regions
+            detector, embedder, page_hw, num_regions=n_regions,
+            letterbox=letterbox,
         )
     return fused, page_hw, n_regions
 
@@ -209,6 +212,7 @@ def run_bench(
     profile_dir: str | None = None,
     mme5_chunk: int = 8,
     pallas_convs: int = 0,
+    letterbox: bool = False,
 ) -> dict:
     import contextlib
 
@@ -220,6 +224,7 @@ def run_bench(
         family=family,
         mme5_chunk=mme5_chunk,
         pallas_convs=pallas_convs,
+        letterbox=letterbox,
     )
     page = make_page(*page_hw)
 
@@ -395,6 +400,13 @@ def main() -> None:
         help="route GL-CRM inner convs with <= N channels through the "
         "Pallas spatial-on-lanes conv kernel (0 = XLA convs)",
     )
+    parser.add_argument(
+        "--letterbox",
+        action="store_true",
+        help="aspect-preserving letterbox view resize in the fused program "
+        "(the exact CLI path's semantics; SERVE_PARITY.json quantifies the "
+        "detection-agreement gain)",
+    )
     args = parser.parse_args()
     _setup_jax()
 
@@ -412,6 +424,7 @@ def main() -> None:
         profile_dir=args.profile,
         mme5_chunk=args.mme5_chunk,
         pallas_convs=args.pallas_convs,
+        letterbox=args.letterbox,
     )
 
     vs_baseline = None

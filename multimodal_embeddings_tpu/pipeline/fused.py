@@ -70,10 +70,18 @@ def view_slice_bounds_for_page(
     return bounds
 
 
-def _make_detect_crop(detector: LayoutDetector, page_hw, num_regions, emb_size):
+def _make_detect_crop(
+    detector: LayoutDetector, page_hw, num_regions, emb_size,
+    letterbox: bool = False,
+):
     """Shared traced section: page → views → batched detect → page-coord
     NMS → top-K boxes → on-device region crops. Returned fn is meant to be
-    closed over by a jitted caller."""
+    closed over by a jitted caller.
+
+    ``letterbox=True`` swaps the serving path's aspect-squeeze view resize
+    for the exact CLI path's aspect-preserving letterbox (measured choice —
+    ``scripts/serve_parity.py`` quantifies both against the stage-1..3
+    pipeline)."""
     height, width = page_hw
     view_bounds = view_slice_bounds_for_page(
         width, height, detector.config.grid_configs, detector.config.overlap_percentage
@@ -85,12 +93,31 @@ def _make_detect_crop(detector: LayoutDetector, page_hw, num_regions, emb_size):
     iou = detector.config.iou_threshold
     max_det = detector.config.max_detections
 
-    # per-view scale from detector-input pixels back to page pixels
+    # per-view affine from detector-input pixels back to page pixels:
+    # squeeze → scale (w/S, h/S), offset (x0, y0); letterbox → scale 1/s,
+    # offset (x0 − left/s, y0 − top/s) with the host-static (s, top, left)
+    # placement of _letterbox_host
     vb = np.asarray(view_bounds, np.float32)
-    sx = jnp.asarray((vb[:, 2] - vb[:, 0]) / det_size)
-    sy = jnp.asarray((vb[:, 3] - vb[:, 1]) / det_size)
-    ox = jnp.asarray(vb[:, 0])
-    oy = jnp.asarray(vb[:, 1])
+    if letterbox:
+        sx_l, sy_l, ox_l, oy_l = [], [], [], []
+        for x0, y0, x1, y1 in view_bounds:
+            gh, gw = y1 - y0, x1 - x0
+            s = min(det_size / gh, det_size / gw)
+            new_h, new_w = int(round(gh * s)), int(round(gw * s))
+            top, left = (det_size - new_h) // 2, (det_size - new_w) // 2
+            sx_l.append(1.0 / s)
+            sy_l.append(1.0 / s)
+            ox_l.append(x0 - left / s)
+            oy_l.append(y0 - top / s)
+        sx = jnp.asarray(np.asarray(sx_l, np.float32))
+        sy = jnp.asarray(np.asarray(sy_l, np.float32))
+        ox = jnp.asarray(np.asarray(ox_l, np.float32))
+        oy = jnp.asarray(np.asarray(oy_l, np.float32))
+    else:
+        sx = jnp.asarray((vb[:, 2] - vb[:, 0]) / det_size)
+        sy = jnp.asarray((vb[:, 3] - vb[:, 1]) / det_size)
+        ox = jnp.asarray(vb[:, 0])
+        oy = jnp.asarray(vb[:, 1])
 
     def detect_and_crop(page: jnp.ndarray):
         # bf16 payloads through the resampling stages: halves the HBM
@@ -101,10 +128,23 @@ def _make_detect_crop(detector: LayoutDetector, page_hw, num_regions, emb_size):
         # of per-pixel gathers (aspect-squeeze resize; the standalone CLI
         # path letterboxes instead — detection-equivalent at these aspect
         # ratios and strictly cheaper on HBM)
-        view_imgs = (
-            extract_views_matmul(pagef, view_bounds, det_size, dtype=jnp.bfloat16)
-            / 255.0
-        )
+        if letterbox:
+            from multimodal_embeddings_tpu.ops.image import (
+                letterbox_views_matmul,
+            )
+
+            view_imgs = (
+                letterbox_views_matmul(pagef, view_bounds, det_size)[0]
+                .astype(jnp.bfloat16)
+                / 255.0
+            )
+        else:
+            view_imgs = (
+                extract_views_matmul(
+                    pagef, view_bounds, det_size, dtype=jnp.bfloat16
+                )
+                / 255.0
+            )
         # 2. detect all views as one batch
         outputs = det_model.apply(det_vars, view_imgs, train=False)
         det = decode_predictions(
@@ -168,13 +208,26 @@ def build_fused_detect_fn(
     page_hw: Tuple[int, int],
     num_regions: int = 48,
     emb_size: int = 448,
+    letterbox: bool = False,
 ):
     """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
     embedding forward: the two-program serving split for embedders whose
     combined program exceeds the remote compiler (e.g. the 1601-token
     Mllama vision tower at 48 crops — CLAUDE.md's documented limit)."""
-    detect_and_crop = _make_detect_crop(detector, page_hw, num_regions, emb_size)
+    detect_and_crop = _make_detect_crop(
+        detector, page_hw, num_regions, emb_size, letterbox=letterbox
+    )
     return jax.jit(detect_and_crop)
+
+
+def tile_crops_2x2(crops: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(K, 2·tile, 2·tile, C) → (K, 4, tile, tile, C) in the Mllama
+    processor's row-major tile order (``mllama_processor.preprocess_image``:
+    canvas.reshape(th, tile, tw, tile, 3).transpose(0, 2, 1, 3, 4))."""
+    k, h, w, c = crops.shape
+    assert h == 2 * tile and w == 2 * tile, (h, w, tile)
+    t = crops.reshape(k, 2, tile, 2, tile, c)
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(k, 4, tile, tile, c)
 
 
 def build_fused_page_fn(
@@ -183,24 +236,45 @@ def build_fused_page_fn(
     page_hw: Tuple[int, int],
     num_regions: int = 48,
     embed_chunk: int = 0,
+    letterbox: bool = False,
+    embed_tiles: int = 1,
 ):
     """Compile the fused page function for a fixed page-shape bucket.
 
     Returns ``fn(page_uint8) -> PageResult`` (jitted, reusable for every
     page of that shape).
+
+    ``embed_tiles=4`` (mme5 family only) crops each region at 2× the tile
+    size and feeds the Mllama tower the 2×2 tiled canvas — the on-device
+    counterpart of the host processor's multi-tile path for large regions
+    (``/root/reference/deprecated_package/embedder.py:110-121``). Static
+    shapes: every region uses the (2,2) arrangement (the optimal canvas for
+    any region larger than one tile in both axes); single-tile stays the
+    default for small-region workloads.
     """
     emb_size = embedder.image_size
     emb_image_fn_model = embedder.model
     emb_vars = embedder.variables
     family = embedder.config.family
-    detect_and_crop = _make_detect_crop(detector, page_hw, num_regions, emb_size)
+    assert embed_tiles in (1, 4), embed_tiles
+    if embed_tiles == 4 and family != "mme5":
+        raise ValueError("embed_tiles=4 requires the tiled mme5 family")
+    crop_size = emb_size * (2 if embed_tiles == 4 else 1)
+    detect_and_crop = _make_detect_crop(
+        detector, page_hw, num_regions, crop_size, letterbox=letterbox
+    )
 
     if family == "mme5":
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            aspect_ratio_to_id,
+        )
+
         prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
             [embedder.config.prompt], embedder.text_len
         )
         prompt_ids = jnp.asarray(prompt_ids)
         prompt_mask = jnp.asarray(prompt_mask)
+        ar_id_2x2 = aspect_ratio_to_id((2, 2), embedder.max_tiles)
 
     @jax.jit
     def fused(page: jnp.ndarray) -> PageResult:
@@ -217,11 +291,19 @@ def build_fused_page_fn(
             crops = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
                 IMAGE_STD, crops.dtype
             )
+            if embed_tiles == 4:
+                crops = tile_crops_2x2(crops, emb_size)
 
             def embed_batch(batch_crops):
                 n = batch_crops.shape[0]
                 ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
                 mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+                if embed_tiles == 4:
+                    return emb_image_fn_model.apply(
+                        emb_vars, ids, mask, batch_crops,
+                        jnp.full((n,), ar_id_2x2, jnp.int32),
+                        jnp.ones((n, 4), jnp.int32),
+                    )
                 return emb_image_fn_model.apply(emb_vars, ids, mask, batch_crops)
 
             if embed_chunk and embed_chunk < num_regions:
@@ -253,6 +335,7 @@ def build_fused_batch_fn(
     page_hw: Tuple[int, int],
     num_regions: int = 48,
     mesh=None,
+    letterbox: bool = False,
 ):
     """Multi-page variant: vmap the fused page function over a page batch,
     optionally sharding the batch over the mesh's data axis (the multi-chip
@@ -268,7 +351,9 @@ def build_fused_batch_fn(
 
     from multimodal_embeddings_tpu.core.mesh import DATA_AXIS
 
-    page_fn = build_fused_page_fn(detector, embedder, page_hw, num_regions)
+    page_fn = build_fused_page_fn(
+        detector, embedder, page_hw, num_regions, letterbox=letterbox
+    )
     # unwrap one level of jit so vmap composes cleanly
     inner = page_fn.__wrapped__ if hasattr(page_fn, "__wrapped__") else page_fn
 

@@ -156,3 +156,130 @@ class TestTiledModel:
             jnp.ones((2, 4), jnp.int32),
         )
         assert np.allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
+
+
+class TestFusedMultiTile:
+    """On-device 2x2 tiling in the fused serving path (pipeline/fused.py
+    embed_tiles=4) vs the host processor's multi-tile facade path
+    (reference contract: deprecated_package/embedder.py:110-121)."""
+
+    def test_tile_crops_2x2_matches_processor_order(self):
+        from multimodal_embeddings_tpu.pipeline.fused import tile_crops_2x2
+
+        tile = 8
+        rng = np.random.default_rng(0)
+        canvas = rng.uniform(0, 1, (1, 2 * tile, 2 * tile, 3)).astype(np.float32)
+        got = np.asarray(tile_crops_2x2(jnp.asarray(canvas), tile))[0]
+        # processor order: reshape(th, tile, tw, tile, 3).transpose(0,2,1,3,4)
+        want = (
+            canvas[0]
+            .reshape(2, tile, 2, tile, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(4, tile, tile, 3)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_fused_tiled_embedding_matches_facade_on_large_square(self):
+        """A large square region: the facade's optimal canvas IS (2,2), so
+        the on-device tiled path must reproduce its embedding (up to the
+        bilinear-resize implementation difference)."""
+        from multimodal_embeddings_tpu.config import EmbedderConfig
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            IMAGE_MEAN,
+            IMAGE_STD,
+            aspect_ratio_to_id,
+        )
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+        from multimodal_embeddings_tpu.ops.image import crop_and_resize_mxu
+        from multimodal_embeddings_tpu.pipeline.fused import tile_crops_2x2
+
+        emb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        # Mllama's tanh gates are zero at init, so a random-init model
+        # ignores its vision input entirely — open every gate so the
+        # comparison actually exercises the tiled vision path
+        import jax.tree_util as jtu
+
+        def open_gates(path, leaf):
+            name = jtu.keystr((path[-1],)).strip("'[]")
+            if "gate" in name and leaf.ndim == 1 and leaf.shape[0] == 1:
+                return np.ones_like(leaf)
+            return leaf
+
+        emb.variables = jtu.tree_map_with_path(open_gates, emb.variables)
+        s = emb.image_size  # 28
+        rng = np.random.default_rng(1)
+        # region 4x the tile size in both axes, square → canvas (2,2)
+        region = rng.integers(0, 255, (4 * s, 4 * s, 3)).astype(np.uint8)
+
+        facade = np.asarray(emb.get_image_embeddings([region])[0])
+
+        # fused-style: on-device resize to (2s, 2s), normalize, 2x2 tile
+        box = jnp.asarray([[0.0, 0.0, 4.0 * s, 4.0 * s]])
+        crop = crop_and_resize_mxu(
+            jnp.asarray(region, jnp.float32), box, out_size=2 * s
+        ) / 255.0
+        crop = (crop - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+        tiles = tile_crops_2x2(crop, s)
+        ids, mask = emb.tokenizer.encode_batch(
+            [emb.config.prompt], emb.text_len, add_image_token=False
+        )
+        fused_emb = emb.model.apply(
+            emb.variables,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            tiles,
+            jnp.asarray([aspect_ratio_to_id((2, 2), emb.max_tiles)], jnp.int32),
+            jnp.ones((1, 4), jnp.int32),
+        )
+        fused_vec = np.asarray(fused_emb)[0]
+        cos4 = float(facade @ fused_vec)
+        assert cos4 > 0.98, cos4
+
+        # single-tile fused path on the same large region: measurably
+        # farther from the facade (the divergence embed_tiles=4 closes)
+        crop1 = crop_and_resize_mxu(
+            jnp.asarray(region, jnp.float32), box, out_size=s
+        ) / 255.0
+        crop1 = (crop1 - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+        single = emb.model.apply(
+            emb.variables, jnp.asarray(ids), jnp.asarray(mask), crop1
+        )
+        cos1 = float(facade @ np.asarray(single)[0])
+        assert cos4 > cos1, (cos4, cos1)
+
+    def test_fused_page_fn_embed_tiles(self):
+        """build_fused_page_fn(embed_tiles=4) runs end-to-end and yields
+        normalized embeddings."""
+        import jax.numpy as jnp
+
+        from bench import make_page
+        from multimodal_embeddings_tpu.config import (
+            DetectorConfig,
+            EmbedderConfig,
+        )
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+        from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
+
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=(), max_detections=16
+            ),
+            dtype=jnp.float32,
+        )
+        emb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        fn = build_fused_page_fn(
+            detector, emb, (256, 200), num_regions=4, embed_tiles=4
+        )
+        out = fn(jnp.asarray(make_page(256, 200, seed=3)))
+        assert out.embeddings.shape[0] == 4
+        norms = np.linalg.norm(np.asarray(out.embeddings), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
