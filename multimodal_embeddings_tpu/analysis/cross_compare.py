@@ -89,39 +89,83 @@ def create_cross_comparison(
                 continue
             if rid[: len(source_prefix)] == source_prefix:
                 continue  # same-publication skip
+            rprefix = rid[: len(source_prefix)]
             cards.append(
-                H.image_card(
+                H.ref_image_card(
+                    len(cards) + 1,
                     rmeta.get("image_path", ""),
                     rid,
-                    score=1.0 - dist,
+                    rprefix,
+                    f"{dist:.4f}",
                 )
             )
             if len(cards) >= top_n:
                 break
 
+        # reference DOM (cross_compare.py:131-256): source-info header,
+        # source image block, flex grid of image-cards, back button
+        import html as _html
+
+        esc = _html.escape
         body = (
-            "<div class='card'><h2>Source</h2>"
-            + H.image_card(image_path, image_id)
-            + "</div><h2>Most similar pages</h2><div class='grid'>"
+            "    <h1>Cross-Comparison Results</h1>\n"
+            '    <div class="source-info">\n'
+            f"        <h2>Source Image: {esc(image_id)}</h2>\n"
+            f"        <p>Source prefix (first {len(source_prefix)} chars): "
+            f"<span class=\"prefix\">'{esc(source_prefix)}'</span></p>\n"
+            "    </div>\n"
+            '    <div class="source-image">\n'
+            "        <h2>Source Image:</h2>\n"
+            '        <div class="image-container">\n'
+            f'            <a href="{esc(image_path)}" target="_blank">'
+            f'<img src="{esc(image_path)}" alt="Source: {esc(image_id)}" '
+            'title="Click to open full image"></a>\n'
+            "        </div>\n"
+            "    </div>\n"
+            "    <h2>Similar Images (with different prefixes):</h2>\n"
+            '    <div class="similar-images">\n'
             + "".join(cards)
-            + "</div><p><a href='index.html'>← index</a></p>"
+            + "    </div>\n"
+            '    <a href="index.html" class="back">Back to Index</a>'
         )
         page_name = f"{os.path.splitext(image_id)[0]}_comparison.html"
-        H.write_page(
+        H.write_ref_page(
             os.path.join(output_folder, page_name),
-            f"Similar pages for {image_id}",
+            f"Cross-Comparison: {image_id}",
+            H.CROSS_PAGE_STYLE,
             body,
         )
-        index_entries.append((image_id, page_name))
+        index_entries.append((image_id, page_name, len(cards)))
         if progress is not None:
             progress.mark_completed(image_id)
         written += 1
         if (written % 5) == 0 or written == len(valid):
             logger.info("cross-compare: %d/%d", written, len(valid))
 
-    H.write_page(
+    # reference index DOM (cross_compare.py:48-74): description block +
+    # "All Comparisons:" list with per-page similar counts
+    import html as _html
+
+    items = "".join(
+        f'        <li><a href="{_html.escape(href)}">{_html.escape(name)}</a>'
+        f" - {count} similar images</li>\n"
+        for name, href, count in index_entries
+    )
+    index_body = (
+        "    <h1>Image Cross-Comparison Index</h1>\n"
+        '    <div class="description">\n'
+        "        <p>This index contains links to all image cross-comparison "
+        "pages.</p>\n"
+        "        <p>Each page shows a source image and its most similar "
+        "images that differ in the first 20% of their filename.</p>\n"
+        "    </div>\n"
+        "    <h2>All Comparisons:</h2>\n"
+        "    <ul>\n" + items + "    </ul>"
+    )
+    H.write_ref_page(
         os.path.join(output_folder, "index.html"),
-        "Cross-comparison index",
-        H.link_list(index_entries),
+        "Image Cross-Comparison Index",
+        H.CROSS_INDEX_STYLE,
+        index_body,
     )
     return written

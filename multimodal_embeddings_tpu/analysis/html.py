@@ -23,6 +23,102 @@ a { color: #2456a4; text-decoration: none; }
 """
 
 
+# --- reference-styled scaffolding ------------------------------------------
+# Inline CSS mirroring the reference reports so rendered output diffs
+# trivially against the originals (cross_compare.py:131-256 page + :48-74
+# index; weighted_region_clustering.py:576-797 cluster report).
+
+CROSS_PAGE_STYLE = """
+        body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; }
+        h1, h2 { color: #333; }
+        .source-info { background-color: #f5f5f5; padding: 15px; border-radius: 5px; margin-bottom: 20px; }
+        .source-image { margin-bottom: 30px; }
+        .similar-images { display: flex; flex-wrap: wrap; gap: 20px; }
+        .image-card { border: 1px solid #ddd; border-radius: 5px; padding: 15px; width: 300px; }
+        .image-container { margin-bottom: 10px; }
+        .image-container img { max-width: 100%; height: auto; cursor: pointer; }
+        .score { font-weight: bold; }
+        .prefix { color: #666; font-style: italic; }
+        a.back { display: inline-block; margin-top: 20px; padding: 10px 15px; background-color: #0066cc; color: white; text-decoration: none; border-radius: 4px; }
+        a.back:hover { background-color: #0052a3; }
+"""
+
+CROSS_INDEX_STYLE = """
+        body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; }
+        h1 { color: #333; }
+        .description { margin-bottom: 20px; }
+        ul { list-style-type: none; padding: 0; }
+        li { margin-bottom: 8px; }
+        a { color: #0066cc; text-decoration: none; }
+        a:hover { text-decoration: underline; }
+"""
+
+CLUSTER_STYLE = """
+        body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; max-width: 1200px; margin: 0 auto; }
+        h1, h2, h3 { color: #333; }
+        .section { margin-bottom: 40px; }
+        .cluster { background-color: #f5f5f5; padding: 15px; border-radius: 5px; margin-bottom: 20px; }
+        .cluster-title { display: flex; justify-content: space-between; }
+        .cluster-cohesion { color: #666; }
+        .images { display: flex; flex-wrap: wrap; gap: 10px; }
+        .image-item { text-align: center; width: 200px; }
+        .image-item img { max-width: 100%; height: auto; border: 1px solid #ddd; }
+        .visualization { margin-top: 20px; text-align: center; }
+        .visualization img { max-width: 100%; border: 1px solid #ddd; }
+        table { border-collapse: collapse; width: 100%; }
+        th, td { border: 1px solid #ddd; padding: 8px; text-align: left; }
+        th { background-color: #f2f2f2; }
+        tr:nth-child(even) { background-color: #f9f9f9; }
+        .highlight { background-color: #fffacd; }
+        .stats { background-color: #e8f4f8; padding: 15px; border-radius: 5px; margin: 20px 0; }
+"""
+
+
+def ref_page(title: str, style: str, body: str) -> str:
+    """Reference-shaped document: same head structure (charset + viewport
+    meta, inline <style>) as the reference writers."""
+    return (
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n'
+        '    <meta charset="UTF-8">\n'
+        '    <meta name="viewport" content="width=device-width, '
+        'initial-scale=1.0">\n'
+        f"    <title>{html.escape(title)}</title>\n"
+        f"    <style>{style}    </style>\n</head>\n<body>\n"
+        f"{body}\n</body>\n</html>\n"
+    )
+
+
+def write_ref_page(path: str, title: str, style: str, body: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(ref_page(title, style, body))
+
+
+def ref_image_card(
+    rank: int,
+    image_path: str,
+    filename: str,
+    prefix: str,
+    score_str: str,
+) -> str:
+    """The reference's similar-image card (cross_compare.py:218-229)."""
+    img = (
+        f'<a href="{html.escape(image_path)}" target="_blank">'
+        f'<img src="{html.escape(image_path)}" alt="Similar: '
+        f'{html.escape(filename)}" title="Click to open full image"></a>'
+        if image_path
+        else "<div style='height:120px'></div>"
+    )
+    return (
+        '<div class="image-card">\n'
+        f'    <div class="image-container">{img}</div>\n'
+        f"    <p><strong>{rank}.</strong> {html.escape(filename)}</p>\n"
+        f"    <p>Prefix: <span class=\"prefix\">'{html.escape(prefix)}'</span></p>\n"
+        f'    <p>Similarity score: <span class="score">{score_str}</span></p>\n'
+        "</div>\n"
+    )
+
+
 def page(title: str, body: str) -> str:
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"

@@ -166,71 +166,158 @@ def create_cluster_report(
         similarity, result, os.path.join(output_folder, "similarity_network.png")
     )
 
+    # reference DOM (weighted_region_clustering.py:576-797): intro section,
+    # stats block, visualization section, clusters sorted by cohesion,
+    # top-50 pairs with >0.5 highlight, rgba-shaded similarity matrix
+    import html as _html
+    import time as _time
+
+    esc = _html.escape
+    n = similarity.shape[0]
+    off_diag = similarity - np.diag(np.diag(similarity))
+    nonzero = similarity[similarity > 0.01]
     sections = [
-        f"<div class='card'>pages: {len(result.names)} · clusters: "
-        f"{result.n_clusters} · silhouette: {result.silhouette:.4f}</div>"
+        '    <h1>Newspaper Image Clustering Results</h1>\n'
+        '    <div class="section">\n'
+        "        <p>This report shows clustering of newspaper images based "
+        "on semantic similarity of their regions, weighted by region "
+        "size.</p>\n"
+        f"        <p>Number of newspapers analyzed: {len(result.names)}</p>\n"
+        f"        <p>Number of clusters: {result.n_clusters}</p>\n"
+        f"        <p>Generated on: "
+        f"{_time.strftime('%Y-%m-%d %H:%M:%S')}</p>\n"
+        f"        <p>Silhouette score: {result.silhouette:.4f}</p>\n"
+        "    </div>",
+        '    <div class="stats">\n'
+        "        <h2>Similarity Statistics</h2>\n"
+        f"        <p>Non-zero similarity pairs: "
+        f"{int(np.sum(similarity > 0.01)) - n}</p>\n"
+        f"        <p>Average non-zero similarity: "
+        f"{float(np.mean(nonzero)) if nonzero.size else 0.0:.4f}</p>\n"
+        f"        <p>Max similarity between different images: "
+        f"{float(np.max(off_diag)) if n > 1 else 0.0:.4f}</p>\n"
+        "    </div>",
     ]
 
-    for cluster_id, members in sorted(result.clusters().items()):
+    viz = []
+    for ok, img, title, caption in (
+        (heatmap_ok, "similarity_heatmap.png", "Similarity Heatmap",
+         "Heatmap showing pairwise similarities between newspaper images, "
+         "based on weighted region comparisons."),
+        (dendro_ok, "dendrogram.png", "Hierarchical Clustering Dendrogram",
+         "Dendrogram showing hierarchical clustering of newspapers. "
+         "Newspapers that are more similar appear closer together."),
+        (network_ok, "similarity_network.png", "Similarity Network",
+         "Network graph showing relationships between newspapers. Connected "
+         "newspapers have significant region similarity."),
+    ):
+        if ok:
+            viz.append(
+                f"        <h3>{title}</h3>\n"
+                '        <div class="visualization">\n'
+                f'            <img src="{img}" alt="{title}">\n'
+                f"            <p>{caption}</p>\n"
+                "        </div>"
+            )
+    sections.append(
+        '    <div class="section">\n        <h2>Visualizations</h2>\n'
+        + "\n".join(viz)
+        + "\n    </div>"
+    )
+
+    cluster_blocks = []
+    by_cohesion = sorted(
+        result.clusters().items(),
+        key=lambda kv: result.cohesion.get(kv[0], 0),
+        reverse=True,
+    )
+    for cluster_id, members in by_cohesion:
         rows = []
         for name in members:
-            cell = name
+            cell = esc(name)
             if image_paths and name in image_paths:
-                cell = (
-                    f"<a href='{image_paths[name]}'>{name}</a>"
-                )
-            rows.append([cell])
-        sections.append(
-            f"<div class='card'><h2>Cluster {cluster_id} "
-            f"({len(members)} pages, cohesion "
-            f"{result.cohesion.get(cluster_id, 0):.3f})</h2>"
-            + H.table(["page"], rows)
-            + "</div>"
+                cell = f"<a href='{esc(image_paths[name])}'>{esc(name)}</a>"
+            rows.append(f"                <tr><td>{cell}</td></tr>")
+        cluster_blocks.append(
+            '        <div class="cluster">\n'
+            '            <div class="cluster-title">\n'
+            f"                <h3>Cluster {cluster_id}</h3>\n"
+            f'                <span class="cluster-cohesion">Cohesion: '
+            f"{result.cohesion.get(cluster_id, 0):.3f}</span>\n"
+            "            </div>\n"
+            f"            <p>Contains {len(members)} newspapers.</p>\n"
+            "            <table>\n"
+            "                <tr><th>Newspaper</th></tr>\n"
+            + "\n".join(rows)
+            + "\n            </table>\n        </div>"
         )
+    sections.append(
+        '    <div class="section">\n        <h2>Clusters</h2>\n'
+        + "\n".join(cluster_blocks)
+        + "\n    </div>"
+    )
 
-    n = similarity.shape[0]
     pairs = [
         (similarity[i, j], result.names[i], result.names[j])
         for i in range(n)
         for j in range(i + 1, n)
+        if similarity[i, j] > 0
     ]
     pairs.sort(reverse=True)
-    sections.append(
-        "<div class='card'><h2>Top similar pairs</h2>"
-        + H.table(
-            ["similarity", "page a", "page b"],
-            [[f"{s:.4f}", a, b] for s, a, b in pairs[:top_pairs]],
+    pair_rows = []
+    for s, a, b in pairs[:top_pairs]:
+        highlight = " class='highlight'" if s > 0.5 else ""
+        pair_rows.append(
+            f"            <tr{highlight}><td>{esc(a)}</td><td>{esc(b)}</td>"
+            f"<td>{s:.4f}</td></tr>"
         )
-        + "</div>"
-    )
-
-    header = [""] + [str(i) for i in range(n)]
-    matrix_html = "<table class='matrix'><tr>" + "".join(
-        f"<th>{h}</th>" for h in header
-    )
-    matrix_html += "</tr>"
-    for i in range(n):
-        matrix_html += f"<tr><td>{_short(result.names[i], 20)}</td>"
-        for j in range(n):
-            matrix_html += H.colored_cell(similarity[i, j])
-        matrix_html += "</tr>"
-    matrix_html += "</table>"
+    if not pair_rows:
+        pair_rows.append(
+            '            <tr><td colspan="3">No similarities found between '
+            "different newspapers</td></tr>"
+        )
     sections.append(
-        "<div class='card'><h2>Similarity matrix</h2>" + matrix_html + "</div>"
+        '    <div class="section">\n        <h2>Top Similarities</h2>\n'
+        "        <table>\n"
+        "            <tr><th>Newspaper 1</th><th>Newspaper 2</th>"
+        "<th>Similarity</th></tr>\n"
+        + "\n".join(pair_rows)
+        + "\n        </table>\n    </div>"
     )
 
-    for ok, img, title in (
-        (heatmap_ok, "similarity_heatmap.png", "Heatmap"),
-        (dendro_ok, "dendrogram.png", "Dendrogram"),
-        (network_ok, "similarity_network.png", "Network"),
-    ):
-        if ok:
-            sections.append(
-                f"<div class='card'><h2>{title}</h2><img src='{img}' "
-                "style='max-width:100%'></div>"
+    def _ref_short(name):
+        # reference truncation: first 15 chars + "..." when longer than 18
+        return name[:15] + "..." if len(name) > 18 else name
+
+    matrix_rows = ["            <tr><th>Newspaper</th>"]
+    for name in result.names:
+        matrix_rows[0] += f"<th>{esc(_ref_short(name))}</th>"
+    matrix_rows[0] += "</tr>"
+    for i, row_name in enumerate(result.names):
+        cells = [f"<td>{esc(_ref_short(row_name))}</td>"]
+        for j in range(n):
+            sim = float(similarity[i, j])
+            bg = (
+                "#e6e6e6"
+                if i == j
+                else f"rgba(0, 100, 255, {sim:.2f})"
             )
+            cells.append(
+                f'<td style="background-color: {bg};">{sim:.3f}</td>'
+            )
+        matrix_rows.append("            <tr>" + "".join(cells) + "</tr>")
+    sections.append(
+        '    <div class="section">\n        <h2>Similarity Matrix</h2>\n'
+        "        <table>\n" + "\n".join(matrix_rows) + "\n        </table>\n"
+        "    </div>"
+    )
 
     report_path = os.path.join(output_folder, "clustering_report.html")
-    H.write_page(report_path, "Weighted region clustering report", "".join(sections))
+    H.write_ref_page(
+        report_path,
+        "Newspaper Image Clustering Results",
+        H.CLUSTER_STYLE,
+        "\n".join(sections),
+    )
     logger.info("cluster report written to %s", report_path)
     return report_path
