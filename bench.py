@@ -72,6 +72,7 @@ def build_pipeline(
     mme5_chunk: int = 8,
     pallas_convs: int = 0,
     letterbox: bool = False,
+    mme5_size: str = "2b",
 ):
     import jax
     import jax.numpy as jnp
@@ -112,13 +113,24 @@ def build_pipeline(
     if family == "mme5":
         from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
 
-        embedder = MultimodalEmbedder(
-            EmbedderConfig(family="mme5", dtype="bfloat16"),
-            model_config=MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b(),
-        )
-        if not quick:
+        if mme5_size == "11b" and not quick:
+            # the reference's actual embedder size (config.py:58, 11B) in
+            # int8 weight-only storage — ~10GB, fits one chip
+            # (scripts/int8_11b_smoke.py validated capacity + latency);
+            # synthetic_int8_init builds the tree without the f32 twin
+            embedder = MultimodalEmbedder(
+                EmbedderConfig(family="mme5", dtype="bfloat16", quantize=True)
+            )
+        else:
+            embedder = MultimodalEmbedder(
+                EmbedderConfig(family="mme5", dtype="bfloat16"),
+                model_config=MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b(),
+            )
+        if not quick and mme5_size != "11b":
             # store the 2B parameters in bf16: 8GB of f32 params plus the
             # fused program's activations overflow one chip's 16GB HBM
+            # (the 11b int8 tree is already int8/bf16 and its f32 scales
+            # must stay f32 for the dequant kernel)
             embedder.variables = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == np.float32
@@ -130,63 +142,26 @@ def build_pipeline(
             EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
         )
     if family == "mme5" and not quick:
-        # two-program split: the combined detect+mme5-embed program
-        # overflows the tunnel's remote compiler even with the embed batch
-        # chunked under lax.map (CLAUDE.md: "Broken pipe" on
-        # /remote_compile), so the page runs as ONE fused detect+crop
-        # program plus 48/chunk executions of one compiled embed program.
-        from multimodal_embeddings_tpu.models.mllama_processor import (
-            IMAGE_MEAN,
-            IMAGE_STD,
-        )
+        # two-program split (pipeline/fused.py::build_split_page_fn): the
+        # combined detect+mme5-embed program overflows the tunnel's remote
+        # compiler (CLAUDE.md "Broken pipe" on /remote_compile)
         from multimodal_embeddings_tpu.pipeline.fused import (
-            PageResult,
-            build_fused_detect_fn,
+            build_split_page_fn,
         )
 
-        emb_size = embedder.image_size
-        detect_fn = build_fused_detect_fn(
-            detector, page_hw, num_regions=n_regions, emb_size=emb_size
+        if mme5_size == "11b":
+            # batch 2 is the measured OOM envelope for the 11B masked
+            # vision attention (int8_11b_smoke: batch 2 fits after the
+            # bf16-logits change, batch 8 OOMs)
+            mme5_chunk = min(mme5_chunk, 2)
+        fused = build_split_page_fn(
+            detector,
+            embedder,
+            page_hw,
+            num_regions=n_regions,
+            embed_chunk=mme5_chunk,
+            letterbox=letterbox,
         )
-        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
-            [embedder.config.prompt], embedder.text_len
-        )
-        prompt_ids = jnp.asarray(prompt_ids)
-        prompt_mask = jnp.asarray(prompt_mask)
-        emb_model = embedder.model
-        chunk = mme5_chunk
-        assert n_regions % chunk == 0
-
-        # Params must be jit ARGUMENTS, not closure constants: closed-over
-        # arrays are inlined into the HLO, and 4GB of bf16 weights in the
-        # program text stalls serialization/hashing for tens of minutes
-        # and overloads the remote compiler. Upload once through numpy
-        # (cross-backend device_put over the tunnel hangs — CLAUDE.md).
-        emb_vars_dev = jax.tree.map(
-            lambda x: jnp.asarray(np.asarray(x)), embedder.variables
-        )
-
-        @jax.jit
-        def embed_fn(variables, crops):
-            # the Mllama processor feeds CLIP-normalized pixels
-            c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
-                IMAGE_STD, crops.dtype
-            )
-            n = c.shape[0]
-            ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
-            mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
-            return emb_model.apply(variables, ids, mask, c)
-
-        def fused(page):
-            boxes, scores, classes, valid, crops = detect_fn(page)
-            embs = [
-                embed_fn(emb_vars_dev, crops[i : i + chunk])
-                for i in range(0, n_regions, chunk)
-            ]
-            return PageResult(
-                boxes, scores, classes, valid, jnp.concatenate(embs)
-            )
-
         return fused, page_hw, n_regions
 
     if batch > 1:
@@ -213,6 +188,7 @@ def run_bench(
     mme5_chunk: int = 8,
     pallas_convs: int = 0,
     letterbox: bool = False,
+    mme5_size: str = "2b",
 ) -> dict:
     import contextlib
 
@@ -225,6 +201,7 @@ def run_bench(
         mme5_chunk=mme5_chunk,
         pallas_convs=pallas_convs,
         letterbox=letterbox,
+        mme5_size=mme5_size,
     )
     page = make_page(*page_hw)
 
@@ -266,6 +243,7 @@ def run_bench(
         "n_regions": n_regions,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "flops_info": getattr(fused, "_flops_info", None),
     }
 
 
@@ -382,6 +360,14 @@ def main() -> None:
     )
     parser.add_argument("--measure-cpu-baseline", action="store_true")
     parser.add_argument(
+        "--mme5-size",
+        choices=("2b", "11b"),
+        default="2b",
+        help="mme5 architecture scale: 2b (reduced Mllama layout) or 11b "
+        "(the reference's actual embedder size, int8 weight-only on one "
+        "chip; pages default drops to 2)",
+    )
+    parser.add_argument(
         "--mme5-chunk",
         type=int,
         default=8,
@@ -408,6 +394,8 @@ def main() -> None:
         "detection-agreement gain)",
     )
     args = parser.parse_args()
+    if args.family == "mme5" and args.mme5_size == "11b" and args.pages == 8:
+        args.pages = 2  # ~35s/page at 11B; 2 timed pages bound the run
     _setup_jax()
 
     here = os.path.dirname(__file__) or "."
@@ -425,6 +413,7 @@ def main() -> None:
         mme5_chunk=args.mme5_chunk,
         pallas_convs=args.pallas_convs,
         letterbox=args.letterbox,
+        mme5_size=args.mme5_size,
     )
 
     vs_baseline = None
@@ -436,6 +425,42 @@ def main() -> None:
             vs_baseline = info["pages_per_sec"] / cpu
 
     if args.family == "mme5":
+        if args.mme5_size == "11b" and not args.quick:
+            fused = info.get("fused_fn")
+            flops = (info.get("flops_info") or {}).get("embed_flops_per_chunk")
+            ms_page = 1e3 / info["pages_per_sec"]
+            out = {
+                "metric": "pages/sec/chip end-to-end, FULL 11B parity "
+                "embedder (detect 30 views @1024 doclayout-yolov10m-glcrm "
+                "+ embed 48 regions @560 mme5-11B Mllama layout, int8 "
+                "weight-only) — fused detect+crop program + compiled "
+                "embed chunks of 2",
+                "value": round(info["pages_per_sec"], 5),
+                "unit": "pages/sec/chip",
+                "ms_per_page": round(ms_page, 1),
+                "ms_per_crop": round(ms_page / info["n_regions"], 1),
+                "embed_flops_per_chunk_xla_estimate": flops,
+                "mfu_vs_197tflops_bf16": (
+                    round(
+                        flops * (info["n_regions"] / 2) / (ms_page / 1e3)
+                        / 197e12,
+                        4,
+                    )
+                    if flops
+                    else None
+                ),
+                "methodology": "synthetic int8 weights (zero egress; "
+                "capacity/latency evidence per int8_11b_smoke.py), single "
+                "chip; CPU denominator infeasible at 11B f32 (44GB) — MFU "
+                "vs the chip's 197 TFLOP/s bf16 peak reported instead",
+                "measured": time.strftime("%Y-%m-%d"),
+            }
+            with open(os.path.join(here, "BENCH_MME5_11B.json"), "w") as f:
+                json.dump(out, f, indent=2)
+            print(json.dumps({k: out[k] for k in ("metric", "value", "unit",
+                                                  "ms_per_crop",
+                                                  "mfu_vs_197tflops_bf16")}))
+            return
         if not args.quick:
             with open(os.path.join(here, "BENCH_MME5.json"), "w") as f:
                 json.dump(

@@ -94,15 +94,40 @@ class FusedServer:
 
     def _fn_for_bucket(self, bucket: Tuple[int, int]):
         if bucket not in self._page_fns:
-            from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
+            from multimodal_embeddings_tpu.pipeline.fused import (
+                build_fused_page_fn,
+                build_split_page_fn,
+            )
 
             logger.info("compiling fused program for bucket %s", bucket)
-            self._page_fns[bucket] = build_fused_page_fn(
-                self.detector,
-                self.embedder,
-                bucket,
-                num_regions=self.args.num_regions,
-            )
+            if (
+                self.embedder.config.family == "mme5"
+                and self.args.embedder_size != "tiny"
+            ):
+                # full-size Mllama embedders must serve through the
+                # two-program split — the combined program exceeds the
+                # remote compiler (CLAUDE.md), and the int8 11B vision
+                # attention bounds the embed chunk to 2
+                chunk = 2 if self.embedder.model_config.quantize else 8
+                chunk = max(
+                    c
+                    for c in range(1, chunk + 1)
+                    if self.args.num_regions % c == 0
+                )
+                self._page_fns[bucket] = build_split_page_fn(
+                    self.detector,
+                    self.embedder,
+                    bucket,
+                    num_regions=self.args.num_regions,
+                    embed_chunk=chunk,
+                )
+            else:
+                self._page_fns[bucket] = build_fused_page_fn(
+                    self.detector,
+                    self.embedder,
+                    bucket,
+                    num_regions=self.args.num_regions,
+                )
         return self._page_fns[bucket]
 
     def process_page(self, path: str) -> int:

@@ -39,6 +39,17 @@ from multimodal_embeddings_tpu.ops.image import (
 )
 
 
+def _device_vars(tree):
+    """Upload a (possibly host-numpy) variable tree once, through numpy —
+    cross-backend device_put over the tunnel hangs (CLAUDE.md)."""
+    def put(x):
+        if isinstance(x, jax.Array):
+            return x
+        return jnp.asarray(np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
 class PageResult(NamedTuple):
     boxes: jnp.ndarray  # (K, 4) page-coordinate xyxy
     scores: jnp.ndarray  # (K,)
@@ -88,7 +99,6 @@ def _make_detect_crop(
     )
     det_size = detector.config.image_size
     det_model = detector.model
-    det_vars = detector.variables
     conf = detector.config.conf_threshold
     iou = detector.config.iou_threshold
     max_det = detector.config.max_detections
@@ -119,7 +129,11 @@ def _make_detect_crop(
         ox = jnp.asarray(vb[:, 0])
         oy = jnp.asarray(vb[:, 1])
 
-    def detect_and_crop(page: jnp.ndarray):
+    def detect_and_crop(det_vars, page: jnp.ndarray):
+        # Parameters come in as ARGUMENTS, not closure constants: closed-over
+        # trees are inlined into the HLO program text, which stalls
+        # serialization and can kill the remote compiler at scale (CLAUDE.md;
+        # advisor r2 finding).
         # bf16 payloads through the resampling stages: halves the HBM
         # traffic of the page-sized gathers/matmuls; weight rounding stays
         # below one uint8 LSB (models compute in bf16 anyway)
@@ -217,7 +231,13 @@ def build_fused_detect_fn(
     detect_and_crop = _make_detect_crop(
         detector, page_hw, num_regions, emb_size, letterbox=letterbox
     )
-    return jax.jit(detect_and_crop)
+    jitted = jax.jit(detect_and_crop)
+    det_vars = _device_vars(detector.variables)
+
+    def fn(page):
+        return jitted(det_vars, page)
+
+    return fn
 
 
 def tile_crops_2x2(crops: jnp.ndarray, tile: int) -> jnp.ndarray:
@@ -276,10 +296,9 @@ def build_fused_page_fn(
         prompt_mask = jnp.asarray(prompt_mask)
         ar_id_2x2 = aspect_ratio_to_id((2, 2), embedder.max_tiles)
 
-    @jax.jit
-    def fused(page: jnp.ndarray) -> PageResult:
+    def fused(det_vars, emb_vars, page: jnp.ndarray) -> PageResult:
         top_boxes, top_scores, top_classes, top_valid, crops = detect_and_crop(
-            page
+            det_vars, page
         )
         if family == "mme5":
             # the Mllama processor feeds CLIP-normalized pixels
@@ -326,7 +345,106 @@ def build_fused_page_fn(
             )
         return PageResult(top_boxes, top_scores, top_classes, top_valid, emb)
 
-    return fused
+    jitted = jax.jit(fused)
+    det_vars_dev = _device_vars(detector.variables)
+    emb_vars_dev = _device_vars(emb_vars)
+
+    def fn(page):
+        return jitted(det_vars_dev, emb_vars_dev, page)
+
+    # exposed for build_fused_batch_fn's vmap composition
+    fn._fused3 = fused
+    fn._vars = (det_vars_dev, emb_vars_dev)
+    return fn
+
+
+def build_split_page_fn(
+    detector: LayoutDetector,
+    embedder: MultimodalEmbedder,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+    embed_chunk: int = 8,
+    letterbox: bool = False,
+    embed_tiles: int = 1,
+):
+    """Two-program serving split: ONE fused detect+crop program plus
+    ``num_regions/embed_chunk`` executions of one compiled embed program,
+    driven from the host loop.
+
+    This is the required shape for large parity embedders: the combined
+    detect+mme5-embed program exceeds the tunnel's remote compiler even
+    with the embed batch chunked under ``lax.map`` (CLAUDE.md), and at 11B
+    the vision attention transient bounds the chunk to 2. Same PageResult
+    contract as ``build_fused_page_fn``.
+    """
+    family = embedder.config.family
+    if family != "mme5":
+        raise ValueError("the split path exists for the mme5 family")
+    assert embed_tiles in (1, 4), embed_tiles
+    assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
+    emb_size = embedder.image_size
+    crop_size = emb_size * (2 if embed_tiles == 4 else 1)
+    detect_fn = build_fused_detect_fn(
+        detector, page_hw, num_regions, crop_size, letterbox=letterbox
+    )
+
+    from multimodal_embeddings_tpu.models.mllama_processor import (
+        IMAGE_MEAN,
+        IMAGE_STD,
+        aspect_ratio_to_id,
+    )
+
+    prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+        [embedder.config.prompt], embedder.text_len
+    )
+    prompt_ids = jnp.asarray(prompt_ids)
+    prompt_mask = jnp.asarray(prompt_mask)
+    ar_id_2x2 = aspect_ratio_to_id((2, 2), embedder.max_tiles)
+    emb_model = embedder.model
+    emb_vars_dev = _device_vars(embedder.variables)
+
+    @jax.jit
+    def embed_fn(variables, crops):
+        c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+            IMAGE_STD, crops.dtype
+        )
+        n = c.shape[0]
+        ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+        mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+        if embed_tiles == 4:
+            c = tile_crops_2x2(c, emb_size)
+            return emb_model.apply(
+                variables, ids, mask, c,
+                jnp.full((n,), ar_id_2x2, jnp.int32),
+                jnp.ones((n, 4), jnp.int32),
+            )
+        return emb_model.apply(variables, ids, mask, c)
+
+    flops_info: dict = {}
+
+    def fn(page) -> PageResult:
+        boxes, scores, classes, valid, crops = detect_fn(page)
+        if not flops_info:
+            # XLA's FLOP estimate of the compiled embed program (for the
+            # MFU line of the parity-architecture benchmark)
+            try:
+                cost = embed_fn.lower(
+                    emb_vars_dev, crops[:embed_chunk]
+                ).compile().cost_analysis()
+                flops_info["embed_flops_per_chunk"] = float(
+                    cost.get("flops", 0.0)
+                )
+            except Exception:  # pragma: no cover — analysis is best-effort
+                flops_info["embed_flops_per_chunk"] = None
+        embs = [
+            embed_fn(emb_vars_dev, crops[i : i + embed_chunk])
+            for i in range(0, num_regions, embed_chunk)
+        ]
+        return PageResult(boxes, scores, classes, valid, jnp.concatenate(embs))
+
+    fn._flops_info = flops_info
+    fn._chunk = embed_chunk
+    return fn
 
 
 def build_fused_batch_fn(
@@ -354,18 +472,35 @@ def build_fused_batch_fn(
     page_fn = build_fused_page_fn(
         detector, embedder, page_hw, num_regions, letterbox=letterbox
     )
-    # unwrap one level of jit so vmap composes cleanly
-    inner = page_fn.__wrapped__ if hasattr(page_fn, "__wrapped__") else page_fn
+    # vmap the 3-arg fused body over the page axis only — variables stay
+    # broadcast jit ARGUMENTS (uploaded once, never inlined into the HLO)
+    det_vars_dev, emb_vars_dev = page_fn._vars
+    batched3 = jax.jit(jax.vmap(page_fn._fused3, in_axes=(None, None, 0)))
 
-    batched = jax.jit(jax.vmap(inner))
+    def batched(pages):
+        return batched3(det_vars_dev, emb_vars_dev, pages)
 
     if mesh is None:
         return batched
 
     sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    # weights ride as replicated arguments; leave anything already
+    # mesh-sharded (e.g. a TP embedder) untouched
+    rep = NamedSharding(mesh, P())
+
+    def _replicate(tree):
+        return jax.tree.map(
+            lambda x: x
+            if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+            else jax.device_put(x, rep),
+            tree,
+        )
+
+    det_rep = _replicate(det_vars_dev)
+    emb_rep = _replicate(emb_vars_dev)
 
     def sharded(pages):
         pages = jax.device_put(pages, sharding)
-        return batched(pages)
+        return batched3(det_rep, emb_rep, pages)
 
     return sharded

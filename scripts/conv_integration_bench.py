@@ -1,0 +1,145 @@
+"""Integrated Pallas-conv measurement on the detect path (round-3 item 1).
+
+The full fused detect+embed program with the Pallas convs took the remote
+compiler >40 min (tunnel died); this measures the SAME integration in two
+much smaller programs instead:
+
+  stage  — the G2L_CRM stage alone at the hot shapes (c2f_2: 30x256^2x96
+           with 48-ch inner convs; c2f_3: 30x128^2x192 with 96-ch inner),
+           XLA vs Pallas path, params passed as jit arguments;
+  detect — the whole detector forward + decode over the 30-view batch
+           (detect-only: the embedder half of the fused program is
+           unchanged by the conv strategy).
+
+Prints one JSON line per measurement. Run variants via --mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup():
+    import jax
+
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms:
+        jax.config.update("jax_platforms", platforms + ",cpu")
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _time_fn(fn, *args, iters=10):
+    import numpy as np
+
+    out = fn(*args)
+    # value fetch: block_until_ready is not a completion barrier over the
+    # axon tunnel for small programs (CLAUDE.md)
+    first = out
+    while isinstance(first, (tuple, list)):
+        first = first[0]
+    np.asarray(jax.tree.leaves(first)[0]).ravel()[:2]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    first = out
+    while isinstance(first, (tuple, list)):
+        first = first[0]
+    np.asarray(jax.tree.leaves(first)[0]).ravel()[:2]
+    return (time.perf_counter() - t0) / iters
+
+
+import jax  # noqa: E402  (after _setup-able import guard)
+
+
+def bench_stage(pallas: bool, batch=30, size=256, ch=96, n=2):
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.linen import unbox
+
+    from multimodal_embeddings_tpu.models.layers import G2L_CRM
+
+    mod = G2L_CRM(
+        ch, n=n, dilation=2, shortcut=True,
+        pallas_max_channels=ch if pallas else 0, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(batch, size, size, ch)).astype(np.float32),
+        jnp.bfloat16,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = unbox(
+            mod.init(jax.random.PRNGKey(0), np.zeros_like(np.asarray(x[:1])))
+        )
+    variables = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), variables)
+
+    @jax.jit
+    def fwd(v, x):
+        return mod.apply(v, x, train=False)
+
+    dt = _time_fn(fwd, variables, x)
+    return {"mode": "stage", "pallas": pallas, "batch": batch, "size": size,
+            "ch": ch, "ms": round(dt * 1e3, 3)}
+
+
+def bench_detect(pallas_convs: int, views=30, size=1024):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_embeddings_tpu.config import DetectorConfig
+    from multimodal_embeddings_tpu.models.detector import LayoutDetector
+    from multimodal_embeddings_tpu.models.yolo_decode import decode_predictions
+
+    cfg = DetectorConfig(image_size=size, variant="m", pallas_convs=pallas_convs)
+    det = LayoutDetector(cfg, dtype=jnp.bfloat16)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a)), det.variables
+    )
+    model = det.model
+
+    @jax.jit
+    def fwd(v, x):
+        outputs = model.apply(v, x, train=False)
+        d = decode_predictions(outputs, max_det=cfg.max_detections,
+                               conf_threshold=cfg.conf_threshold,
+                               iou_threshold=cfg.iou_threshold, with_nms=True)
+        return d.boxes, d.scores
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.uniform(0, 1, (views, size, size, 3)).astype(np.float32)
+    )
+    dt = _time_fn(fwd, variables, x, iters=5)
+    return {"mode": "detect", "pallas_convs": pallas_convs, "views": views,
+            "ms": round(dt * 1e3, 2),
+            "pages_per_sec_detect_only": round(1.0 / dt, 3)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--mode", required=True,
+        choices=["stage48", "stage48-xla", "stage96", "stage96-xla",
+                 "detect0", "detect48", "detect96"],
+    )
+    args = parser.parse_args()
+    _setup()
+    if args.mode.startswith("stage48"):
+        out = bench_stage("xla" not in args.mode, batch=30, size=256, ch=96, n=2)
+    elif args.mode.startswith("stage96"):
+        out = bench_stage("xla" not in args.mode, batch=30, size=128, ch=192, n=4)
+    else:
+        out = bench_detect(int(args.mode.replace("detect", "")))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
