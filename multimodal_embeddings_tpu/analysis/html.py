@@ -74,6 +74,49 @@ CLUSTER_STYLE = """
 """
 
 
+# region-type chips shared by the region pages and index
+_REGION_TYPE_CSS = """
+        .region-type { display: inline-block; padding: 2px 6px; border-radius: 3px; margin-right: 8px; }
+        .title { background-color: #ffeeaa; }
+        .plain_text { background-color: #e0f7fa; }
+        .figure { background-color: #e8f5e9; }
+        .table { background-color: #f3e5f5; }
+        .caption { background-color: #fff3e0; }
+"""
+
+REGION_PAGE_STYLE = """
+        body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; }
+        h1, h2, h3 { color: #333; }
+        .source-info { background-color: #f5f5f5; padding: 15px; border-radius: 5px; margin-bottom: 20px; }
+        .source-region { margin-bottom: 30px; }
+        .similar-regions { display: flex; flex-wrap: wrap; gap: 20px; }
+        .region-card { border: 1px solid #ddd; border-radius: 5px; padding: 15px; width: 300px; }
+        .image-container { margin-bottom: 10px; }
+        .image-container img { max-width: 100%; height: auto; cursor: pointer; }
+        .score { font-weight: bold; }
+""" + _REGION_TYPE_CSS + """
+        a.back { display: inline-block; margin-top: 20px; padding: 10px 15px; background-color: #0066cc; color: white; text-decoration: none; border-radius: 4px; }
+        a.back:hover { background-color: #0052a3; }
+        a.visualization { display: inline-block; margin-top: 5px; padding: 5px 10px; background-color: #4caf50; color: white; text-decoration: none; border-radius: 4px; }
+        a.visualization:hover { background-color: #388e3c; }
+"""
+
+REGION_INDEX_STYLE = """
+        body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; }
+        h1, h2 { color: #333; }
+        .description { margin-bottom: 20px; }
+        ul { list-style-type: none; padding: 0; }
+        li { margin-bottom: 8px; }
+        a { color: #0066cc; text-decoration: none; }
+        a:hover { text-decoration: underline; }
+""" + _REGION_TYPE_CSS
+
+
+def region_type_chip(region_type: str) -> str:
+    t = html.escape(str(region_type))
+    return f'<span class="region-type {t.lower()}">{t}</span>'
+
+
 def ref_page(title: str, style: str, body: str) -> str:
     """Reference-shaped document: same head structure (charset + viewport
     meta, inline <style>) as the reference writers."""

@@ -128,38 +128,108 @@ def create_region_cross_comparison(
                     banner=f"score {score:.4f} | weighted {weighted:.6f}",
                 ):
                     comp_rel = os.path.join("comparisons", comp_name)
-            caption = (
-                f"{rid} [{rmeta.get('region_type', '?')}] "
-                f"score {score:.4f} weighted {weighted:.6f}"
-            )
-            cards.append(H.image_card(comp_rel or "", caption, score=score))
+            # reference region-card DOM (region_compare.py:316-328)
+            import html as _html
 
+            rtype = rmeta.get("region_type", "?")
+            crop_img = rmeta.get("crop_path", "") or comp_rel or ""
+            img = (
+                f'<a href="{_html.escape(crop_img)}" target="_blank">'
+                f'<img src="{_html.escape(crop_img)}" alt="Similar Region" '
+                'title="Click to open full image"></a>'
+                if crop_img
+                else "<div style='height:120px'></div>"
+            )
+            viz_link = (
+                f'\n            <a href="{_html.escape(comp_rel)}" '
+                'class="visualization" target="_blank">View Comparison</a>'
+                if comp_rel
+                else ""
+            )
+            cards.append(
+                '        <div class="region-card">\n'
+                f'            <div class="image-container">{img}</div>\n'
+                f"            <p><strong>{rank + 1}.</strong> Type: "
+                f"{H.region_type_chip(rtype)}</p>\n"
+                f"            <p>Parent: "
+                f"{_html.escape(str(rmeta.get('parent_image_name', '?')))}</p>\n"
+                f"            <p>Area: "
+                f"{float(rmeta.get('area_percentage', 0.0)):.2f}%</p>\n"
+                f'            <p>Similarity score: <span class="score">'
+                f"{score:.4f}</span></p>\n"
+                f'            <p>Weighted score: <span class="score">'
+                f"{weighted:.6f}</span></p>{viz_link}\n"
+                "        </div>\n"
+            )
+
+        # reference page DOM (region_compare.py:178-233)
+        import html as _html
+
+        esc = _html.escape
+        rtype = meta.get("region_type", "?")
         body = (
-            f"<div class='card'><b>{region_id}</b> "
-            f"[{meta.get('region_type', '?')}] from "
-            f"{meta.get('parent_image_name', '?')} "
-            f"(area {source_area:.2f}%)</div>"
-            "<h2>Similar regions</h2><div class='grid'>"
+            "    <h1>Region Cross-Comparison Results</h1>\n"
+            '    <div class="source-info">\n'
+            f"        <h2>Source Region: {esc(region_id)}</h2>\n"
+            f"        <p>Type: {H.region_type_chip(rtype)}</p>\n"
+            f"        <p>Parent Image: "
+            f"{esc(str(meta.get('parent_image_name', '?')))}</p>\n"
+            f"        <p>Area Percentage: {source_area:.2f}%</p>\n"
+            "    </div>\n"
+            '    <div class="source-region">\n'
+            "        <h2>Source Region:</h2>\n"
+            '        <div class="image-container">\n'
+            f'            <a href="{esc(parent)}" target="_blank">'
+            f'<img src="{esc(parent)}" alt="Parent Image" '
+            'title="Click to open parent image" style="max-height: 300px;">'
+            "</a>\n"
+            "        </div>\n"
+            "    </div>\n"
+            "    <h2>Similar Regions (from different images):</h2>\n"
+            '    <div class="similar-regions">\n'
             + "".join(cards)
-            + "</div><p><a href='index.html'>← index</a></p>"
+            + "    </div>\n"
+            '    <a href="index.html" class="back">Back to Index</a>'
         )
         page_name = f"{region_id}_comparison.html"
-        H.write_page(
+        H.write_ref_page(
             os.path.join(output_folder, page_name),
-            f"Similar regions for {region_id}",
+            f"Region Cross-Comparison: {region_id}",
+            H.REGION_PAGE_STYLE,
             body,
         )
         index_entries.append(
-            (f"{region_id} ({len(matches)} matches)", page_name)
+            (region_id, meta.get("region_type", "?"), page_name, len(matches))
         )
         if progress is not None:
             progress.mark_completed(region_id)
         written += 1
 
-    H.write_page(
+    # reference index DOM (region_compare.py:75-107)
+    import html as _html
+
+    items = "".join(
+        f"        <li>{H.region_type_chip(rtype)} "
+        f'<a href="{_html.escape(href)}">{_html.escape(rid)}</a>'
+        f" - {count} similar regions</li>\n"
+        for rid, rtype, href, count in index_entries
+    )
+    index_body = (
+        "    <h1>Region Cross-Comparison Index</h1>\n"
+        '    <div class="description">\n'
+        "        <p>This index contains links to all region cross-comparison "
+        "pages.</p>\n"
+        "        <p>Each page shows a source region and its most similar "
+        "regions from different parent images.</p>\n"
+        "    </div>\n"
+        "    <h2>All Comparisons:</h2>\n"
+        "    <ul>\n" + items + "    </ul>"
+    )
+    H.write_ref_page(
         os.path.join(output_folder, "index.html"),
-        "Region comparison index",
-        H.link_list(index_entries),
+        "Region Cross-Comparison Index",
+        H.REGION_INDEX_STYLE,
+        index_body,
     )
     logger.info("region-compare: %d pages written", written)
     return written

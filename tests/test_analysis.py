@@ -319,3 +319,27 @@ class TestReferenceDOM:
         assert "rgba(0, 100, 255," in page
         assert "background-color: #e6e6e6" in page
         assert "paper_with_a_ra..." in page
+
+    def test_region_compare_page_structure(self, tiny_embedder, tmp_path):
+        from multimodal_embeddings_tpu.analysis.region_compare import (
+            create_region_cross_comparison,
+        )
+
+        _, col = initialize_db(str(tmp_path / "db_dom2"))
+        populate_store(col, tmp_path, tiny_embedder)
+        out = str(tmp_path / "rc")
+        create_region_cross_comparison(col, out, top_n=3, make_composites=False)
+        import glob
+
+        pages = glob.glob(os.path.join(out, "*_comparison.html"))
+        assert pages
+        page = open(pages[0]).read()
+        classes = self._classes(page)
+        for cls in ("source-info", "source-region", "similar-regions", "back"):
+            assert any(c == cls for _, c in classes), (cls,)
+        assert "Region Cross-Comparison Results" in page
+        assert 'class="region-card"' in page
+        assert "region-type plain_text" in page
+        index = open(os.path.join(out, "index.html")).read()
+        assert "Region Cross-Comparison Index" in index
+        assert "similar regions</li>" in index
