@@ -247,6 +247,93 @@ def run_bench(
     }
 
 
+def _cpu_baseline_mme5(path: str) -> None:
+    """CPU denominator for the PARITY-ARCHITECTURE metric: one mme5-2B
+    Mllama-layout crop embed on the CPU backend (f32), combined with the
+    already-measured CPU detector view cost into a pages/sec figure.
+
+    The 2B reduced layout is the largest the 1-vCPU host can time (the 11B
+    f32 twin is 44GB); the 11B line reports MFU instead (BENCH_MME5_11B).
+    Written to BASELINE_CPU_MME5.json.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from multimodal_embeddings_tpu.config import EmbedderConfig
+    from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+    from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+
+    embedder = MultimodalEmbedder(
+        EmbedderConfig(family="mme5", dtype="float32"),
+        model_config=MllamaConfig.mme5_2b(),
+    )
+    size = embedder.image_size
+    ids, mask = embedder.tokenizer.encode_batch(
+        [embedder.config.prompt], embedder.text_len
+    )
+    model, variables = embedder.model, embedder.variables
+
+    import jax as _jax
+
+    @_jax.jit
+    def emb_fn(v, imgs):
+        import jax.numpy as _jnp
+
+        n = imgs.shape[0]
+        return model.apply(
+            v,
+            _jnp.broadcast_to(_jnp.asarray(ids), (n, len(ids[0]))),
+            _jnp.broadcast_to(_jnp.asarray(mask), (n, len(mask[0]))),
+            imgs,
+        )
+
+    def timed(fn, *args, n=1):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        start = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - start) / n
+
+    crops1 = jnp.zeros((1, size, size, 3), jnp.float32)
+    t_crop1 = timed(emb_fn, variables, crops1)
+    crops2 = jnp.zeros((2, size, size, 3), jnp.float32)
+    t_crop2 = timed(emb_fn, variables, crops2)
+    per_crop = min(t_crop1, t_crop2 / 2)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    det_view = None
+    base = os.path.join(here, "BASELINE_CPU.json")
+    if os.path.exists(base):
+        with open(base) as f:
+            b = json.load(f)
+        det_view = min(
+            b.get("t_detector_view_s", 1e9),
+            b.get("t_detector_view2_s", 2e9) / 2,
+        )
+    page_seconds = (det_view or 0) * 30 + 48 * per_crop
+    out = {
+        "pages_per_sec_cpu_mme5_2b": 1.0 / page_seconds,
+        "t_embed_crop_s": t_crop1,
+        "t_embed_crop2_s": t_crop2,
+        "embed_linearity": t_crop2 / (2 * t_crop1),
+        "t_detector_view_s": det_view,
+        "methodology": (
+            "CPU backend f32: mme5-2B Mllama-layout crop embed @%d timed at "
+            "batch 1 AND 2 (linearity check); page cost = 30 detector views "
+            "(from BASELINE_CPU.json) + 48 crops at the cheaper per-unit "
+            "rate — the denominator for the parity-architecture pages/sec"
+        ) % size,
+        "measured": time.strftime("%Y-%m-%d"),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def _cpu_baseline(path: str) -> None:
     """Measure the CPU denominator: the page workload on the CPU backend.
 
@@ -359,6 +446,7 @@ def main() -> None:
         "the remote compiler; writes BENCH_MME5.json)",
     )
     parser.add_argument("--measure-cpu-baseline", action="store_true")
+    parser.add_argument("--measure-cpu-baseline-mme5", action="store_true")
     parser.add_argument(
         "--mme5-size",
         choices=("2b", "11b"),
@@ -402,6 +490,9 @@ def main() -> None:
     baseline_path = os.path.join(here, "BASELINE_CPU.json")
     if args.measure_cpu_baseline:
         _cpu_baseline(baseline_path)
+        return
+    if args.measure_cpu_baseline_mme5:
+        _cpu_baseline_mme5(os.path.join(here, "BASELINE_CPU_MME5.json"))
         return
 
     info = run_bench(
@@ -462,6 +553,11 @@ def main() -> None:
                                                   "mfu_vs_197tflops_bf16")}))
             return
         if not args.quick:
+            mme5_base = None
+            mb_path = os.path.join(here, "BASELINE_CPU_MME5.json")
+            if os.path.exists(mb_path):
+                with open(mb_path) as f:
+                    mme5_base = json.load(f).get("pages_per_sec_cpu_mme5_2b")
             with open(os.path.join(here, "BENCH_MME5.json"), "w") as f:
                 json.dump(
                     {
@@ -471,6 +567,11 @@ def main() -> None:
                         "program + compiled embed chunks",
                         "value": round(info["pages_per_sec"], 4),
                         "unit": "pages/sec/chip",
+                        "vs_cpu_baseline_same_architecture": (
+                            round(info["pages_per_sec"] / mme5_base, 2)
+                            if mme5_base
+                            else None
+                        ),
                         "measured": time.strftime("%Y-%m-%d"),
                     },
                     f,
