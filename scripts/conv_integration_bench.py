@@ -36,23 +36,24 @@ def _setup():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _time_fn(fn, *args, iters=10):
+def _fetch_tiny(out):
+    """Completion barrier via a SMALL value fetch: block_until_ready is not
+    a barrier over the axon tunnel (CLAUDE.md), and np.asarray of the full
+    output would download hundreds of MB — slice two elements ON DEVICE and
+    download only those."""
     import numpy as np
 
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[:2])
+
+
+def _time_fn(fn, *args, iters=10):
     out = fn(*args)
-    # value fetch: block_until_ready is not a completion barrier over the
-    # axon tunnel for small programs (CLAUDE.md)
-    first = out
-    while isinstance(first, (tuple, list)):
-        first = first[0]
-    np.asarray(jax.tree.leaves(first)[0]).ravel()[:2]
+    _fetch_tiny(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    first = out
-    while isinstance(first, (tuple, list)):
-        first = first[0]
-    np.asarray(jax.tree.leaves(first)[0]).ravel()[:2]
+    _fetch_tiny(out)
     return (time.perf_counter() - t0) / iters
 
 
