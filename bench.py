@@ -517,7 +517,6 @@ def main() -> None:
 
     if args.family == "mme5":
         if args.mme5_size == "11b" and not args.quick:
-            fused = info.get("fused_fn")
             flops = (info.get("flops_info") or {}).get("embed_flops_per_chunk")
             ms_page = 1e3 / info["pages_per_sec"]
             out = {
