@@ -73,6 +73,7 @@ def build_pipeline(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
+    fuse_ln: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -102,7 +103,10 @@ def build_pipeline(
             image_size=1024, variant="m", pallas_convs=pallas_convs
         )
         enc_cfg = DualEncoderConfig(
-            vision=VisionConfig(image_size=448, patch_size=16, width=768, layers=12, heads=12),
+            vision=VisionConfig(
+                image_size=448, patch_size=16, width=768, layers=12,
+                heads=12, fuse_ln=fuse_ln,
+            ),
             text=TextConfig(),
             embed_dim=768,
         )
@@ -122,9 +126,16 @@ def build_pipeline(
                 EmbedderConfig(family="mme5", dtype="bfloat16", quantize=True)
             )
         else:
+            mcfg = MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b()
+            if fuse_ln:
+                import dataclasses as _dc
+
+                mcfg = _dc.replace(
+                    mcfg, vision=_dc.replace(mcfg.vision, fuse_ln=True)
+                )
             embedder = MultimodalEmbedder(
                 EmbedderConfig(family="mme5", dtype="bfloat16"),
-                model_config=MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b(),
+                model_config=mcfg,
             )
         if not quick and mme5_size != "11b":
             # store the 2B parameters in bf16: 8GB of f32 params plus the
@@ -189,6 +200,7 @@ def run_bench(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
+    fuse_ln: bool = False,
 ) -> dict:
     import contextlib
 
@@ -202,6 +214,7 @@ def run_bench(
         pallas_convs=pallas_convs,
         letterbox=letterbox,
         mme5_size=mme5_size,
+        fuse_ln=fuse_ln,
     )
     page = make_page(*page_hw)
 
@@ -475,6 +488,12 @@ def main() -> None:
         "Pallas spatial-on-lanes conv kernel (0 = XLA convs)",
     )
     parser.add_argument(
+        "--fuse-ln",
+        action="store_true",
+        help="fused LayerNorm->matmul Pallas prologue in the embedder "
+        "encoder blocks (kernels/ln_matmul.py)",
+    )
+    parser.add_argument(
         "--letterbox",
         action="store_true",
         help="aspect-preserving letterbox view resize in the fused program "
@@ -505,6 +524,7 @@ def main() -> None:
         pallas_convs=args.pallas_convs,
         letterbox=args.letterbox,
         mme5_size=args.mme5_size,
+        fuse_ln=args.fuse_ln,
     )
 
     vs_baseline = None

@@ -43,6 +43,24 @@ def _ln_mm_kernel(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps: float):
     ).astype(o_ref.dtype)
 
 
+def _ln_mm_bias_kernel(x_ref, g_ref, b_ref, w_ref, d_ref, o_ref, *, eps: float):
+    """Variant with the projection's own bias fused into the epilogue
+    (flax ``nn.Dense(use_bias=True)``: bias added in the compute dtype
+    after the dot)."""
+    x = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    acc = jnp.dot(
+        xn.astype(x_ref.dtype), w_ref[...], preferred_element_type=jnp.float32
+    )
+    o_ref[...] = (
+        acc.astype(o_ref.dtype) + d_ref[...].astype(o_ref.dtype)
+    )
+
+
 def _pad_rows(x, m_pad):
     if m_pad == x.shape[0]:
         return x
@@ -57,12 +75,14 @@ def ln_matmul(
     gamma: jnp.ndarray,  # (K,)
     beta: jnp.ndarray,  # (K,)
     w: jnp.ndarray,  # (K, N)
+    bias: jnp.ndarray | None = None,  # (N,) projection bias
     block_m: int = 256,
     block_n: int = 512,
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``LayerNorm(x; gamma, beta) @ w`` in one kernel → (M, N) in x.dtype.
+    """``LayerNorm(x; gamma, beta) @ w [+ bias]`` in one kernel → (M, N)
+    in x.dtype.
 
     K must be lane-aligned (a multiple of 128 — true for every model dim
     in the pipeline); M and N are padded internally to the block sizes.
@@ -78,19 +98,27 @@ def ln_matmul(
     xp = _pad_rows(x, m_pad)
     wp = w if n_pad == n else jnp.pad(w, ((0, 0), (0, n_pad - n)))
 
+    x_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    operands = [xp, gamma.reshape(1, k), beta.reshape(1, k), wp]
+    in_specs = [x_spec, vec_spec, vec_spec, w_spec]
+    kernel = _ln_mm_kernel
+    if bias is not None:
+        bp = bias if n_pad == n else jnp.pad(bias, (0, n_pad - n))
+        operands.append(bp.reshape(1, n_pad))
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        kernel = _ln_mm_bias_kernel
+
     out = pl.pallas_call(
-        functools.partial(_ln_mm_kernel, eps=eps),
+        functools.partial(kernel, eps=eps),
         grid=(m_pad // bm, n_pad // bn),  # N innermost: x block stays resident
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
         interpret=interpret,
-    )(xp, gamma.reshape(1, k), beta.reshape(1, k), wp)
+    )(*operands)
     return out[:m, :n]

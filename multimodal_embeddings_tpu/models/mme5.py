@@ -60,6 +60,9 @@ class MllamaVisionConfig:
     # multi-tile path (HF Mllama: large pages are split into up to
     # max_tiles 560px tiles with aspect-ratio-gated tile embeddings)
     max_tiles: int = 4
+    # fused LayerNorm→matmul Pallas prologue in the local blocks (TPU
+    # only; kernels/ln_matmul.py — measured decision, see ROADMAP)
+    fuse_ln: bool = False
 
     @property
     def patches_per_tile(self) -> int:
@@ -312,6 +315,7 @@ class MllamaVisionEncoder(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 quantize=self.quantize,
+                fuse_ln=cfg.fuse_ln,
                 name=f"local{i}",
             )(x, mask=attn_mask)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)

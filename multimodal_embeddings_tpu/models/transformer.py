@@ -71,6 +71,59 @@ def _f32_logits_forced() -> bool:
     return os.environ.get("MMTPU_F32_LOGITS") == "1"
 
 
+def _ln_fuse_mode() -> Optional[str]:
+    """Where the fused LayerNorm→matmul prologue can run: ``"tpu"`` when
+    the Pallas kernel can lower, ``"interpret"`` under the CPU test
+    override (MMTPU_LN_FUSE_INTERPRET=1), else None (XLA fallback)."""
+    import os
+
+    if os.environ.get("MMTPU_LN_FUSE_INTERPRET") == "1":
+        return "interpret"
+    return "tpu" if _on_tpu_backend() else None
+
+
+class _LNParams(nn.Module):
+    """Param holder mirroring ``nn.LayerNorm``'s tree ({scale, bias}, f32,
+    ones/zeros init) without applying it — the fused prologue path needs
+    the raw parameters (kernels/ln_matmul.py) while keeping checkpoints
+    and hf_port maps bit-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Param holder mirroring ``nn.Dense``/``nn.DenseGeneral``'s kernel
+    (and optional bias) with the same logical-partitioning metadata."""
+
+    shape: tuple
+    axes: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.with_logical_partitioning(_dense_init(), self.axes), self.shape
+        )
+        if not self.use_bias:
+            return kernel, None
+        n = int(np_prod(self.shape[1:]))
+        bias = self.param("bias", nn.initializers.zeros, (n,))
+        return kernel, bias
+
+
+def np_prod(xs) -> int:
+    out = 1
+    for v in xs:
+        out *= int(v)
+    return out
+
+
 def _on_tpu_backend() -> bool:
     import jax
 
@@ -228,7 +281,10 @@ class Attention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
         kv_lengths: Optional[jnp.ndarray] = None,
+        pre_ln: Optional[tuple] = None,  # (scale, bias, mode) fused prologue
     ):
+        if pre_ln is not None and kv is None and not self.quantize:
+            return self._fused_prologue(x, mask, causal, kv_lengths, pre_ln)
         kv = x if kv is None else kv
         kvh = self.num_kv_heads or self.num_heads
         if self.quantize:
@@ -261,6 +317,53 @@ class Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
         out = sdpa(q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths)
+        return self._out_proj(x, out)
+
+    def _fused_prologue(self, x, mask, causal, kv_lengths, pre_ln):
+        """Self-attention with the pre-LN fused into the q/k/v projections
+        as ONE LayerNorm→matmul Pallas kernel over the concatenated
+        [Wq|Wk|Wv] (kernels/ln_matmul.py). Param tree identical to the
+        unfused path (_DenseParams mirrors DenseGeneral's kernel)."""
+        from multimodal_embeddings_tpu.kernels.ln_matmul import ln_matmul
+
+        scale, ln_bias, mode = pre_ln
+        kvh = self.num_kv_heads or self.num_heads
+        b, l, d = x.shape
+        wq, _ = _DenseParams(
+            (d, self.num_heads, self.head_dim), (EMBED, HEADS, HEAD_DIM), name="q"
+        )()
+        wk, _ = _DenseParams(
+            (d, kvh, self.head_dim), (EMBED, KV_HEADS, HEAD_DIM), name="k"
+        )()
+        wv, _ = _DenseParams(
+            (d, kvh, self.head_dim), (EMBED, KV_HEADS, HEAD_DIM), name="v"
+        )()
+        wcat = jnp.concatenate(
+            [w.reshape(d, -1).astype(self.dtype) for w in (wq, wk, wv)], axis=-1
+        )
+        fused = ln_matmul(
+            x.reshape(-1, d).astype(self.dtype),
+            scale.astype(jnp.float32),
+            ln_bias.astype(jnp.float32),
+            wcat,
+            interpret=(mode == "interpret"),
+        )
+        nq = self.num_heads * self.head_dim
+        nk = kvh * self.head_dim
+        q = fused[:, :nq].reshape(b, l, self.num_heads, self.head_dim)
+        k = fused[:, nq : nq + nk].reshape(b, l, kvh, self.head_dim)
+        v = fused[:, nq + nk :].reshape(b, l, kvh, self.head_dim)
+        if self.use_qk_norm:
+            q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
+            k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
+        if self.use_rope:
+            cos, sin = rope_frequencies(self.head_dim, self.max_len, self.rope_theta)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        out = sdpa(q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths)
+        return self._out_proj(x, out)
+
+    def _out_proj(self, x, out):
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
                 Int8DenseGeneral,
@@ -315,7 +418,30 @@ class GeluMLP(nn.Module):
     quantize: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_ln: Optional[tuple] = None):
+        if pre_ln is not None and not self.quantize:
+            from multimodal_embeddings_tpu.kernels.ln_matmul import ln_matmul
+
+            scale, ln_bias, mode = pre_ln
+            d = x.shape[-1]
+            w1, b1 = _DenseParams(
+                (d, self.hidden_dim), (EMBED, MLP), use_bias=True, name="fc1"
+            )()
+            h = ln_matmul(
+                x.reshape(-1, d).astype(self.dtype),
+                scale.astype(jnp.float32),
+                ln_bias.astype(jnp.float32),
+                w1.astype(self.dtype),
+                bias=b1.astype(self.dtype),
+                interpret=(mode == "interpret"),
+            ).reshape(*x.shape[:-1], self.hidden_dim)
+            h = nn.gelu(h, approximate=True)
+            return nn.Dense(
+                d,
+                kernel_init=nn.with_logical_partitioning(_dense_init(), (MLP, EMBED)),
+                dtype=self.dtype,
+                name="fc2",
+            )(h)
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
                 Int8DenseGeneral,
@@ -337,12 +463,19 @@ class GeluMLP(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """Pre-LN ViT/BERT-style block (LayerNorm + MHA + GELU MLP)."""
+    """Pre-LN ViT/BERT-style block (LayerNorm + MHA + GELU MLP).
+
+    ``fuse_ln=True`` routes both pre-LNs through the fused
+    LayerNorm→matmul Pallas prologue (``kernels/ln_matmul.py``) on TPU,
+    eliminating the normalized-activation HBM round trip before the QKV
+    and fc1 projections; the param tree is identical either way, and
+    non-TPU backends silently fall back to the unfused path."""
 
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     quantize: bool = False
+    fuse_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -352,22 +485,35 @@ class EncoderBlock(nn.Module):
         kv_lengths: Optional[jnp.ndarray] = None,
     ):
         d = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        h = Attention(
+        mode = _ln_fuse_mode() if self.fuse_ln and not self.quantize else None
+        fuse = mode is not None and x.dtype == jnp.bfloat16 and d % 128 == 0
+        attn = Attention(
             num_heads=self.num_heads,
             head_dim=d // self.num_heads,
             dtype=self.dtype,
             quantize=self.quantize,
             name="attn",
-        )(h, mask=mask, kv_lengths=kv_lengths)
-        x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = GeluMLP(
+        )
+        mlp = GeluMLP(
             int(d * self.mlp_ratio),
             dtype=self.dtype,
             quantize=self.quantize,
             name="mlp",
-        )(h)
+        )
+        if fuse:
+            scale1, bias1 = _LNParams(d, name="ln1")()
+            h = attn(
+                x, mask=mask, kv_lengths=kv_lengths, pre_ln=(scale1, bias1, mode)
+            )
+            x = x + h
+            scale2, bias2 = _LNParams(d, name="ln2")()
+            h = mlp(x, pre_ln=(scale2, bias2, mode))
+            return x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = attn(h, mask=mask, kv_lengths=kv_lengths)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = mlp(h)
         return x + h
 
 

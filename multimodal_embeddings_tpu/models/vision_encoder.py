@@ -33,6 +33,9 @@ class VisionConfig:
     layers: int = 12
     heads: int = 12
     mlp_ratio: float = 4.0
+    # fused LayerNorm→matmul Pallas prologue in every block (TPU only;
+    # kernels/ln_matmul.py — measured decision, see ROADMAP)
+    fuse_ln: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +102,7 @@ class ViTower(nn.Module):
                 num_heads=cfg.heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
+                fuse_ln=cfg.fuse_ln,
                 name=f"block{i}",
             )(x)
         x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)

@@ -294,7 +294,13 @@ def build_fused_page_fn(
         )
         prompt_ids = jnp.asarray(prompt_ids)
         prompt_mask = jnp.asarray(prompt_mask)
-        ar_id_2x2 = aspect_ratio_to_id((2, 2), embedder.max_tiles)
+        # only the multi-tile path needs the (2,2) canvas id — single-tile
+        # configs (e.g. mme5_2b, max_tiles=1) don't define it
+        ar_id_2x2 = (
+            aspect_ratio_to_id((2, 2), embedder.max_tiles)
+            if embed_tiles == 4
+            else None
+        )
 
     def fused(det_vars, emb_vars, page: jnp.ndarray) -> PageResult:
         top_boxes, top_scores, top_classes, top_valid, crops = detect_and_crop(
@@ -399,7 +405,11 @@ def build_split_page_fn(
     )
     prompt_ids = jnp.asarray(prompt_ids)
     prompt_mask = jnp.asarray(prompt_mask)
-    ar_id_2x2 = aspect_ratio_to_id((2, 2), embedder.max_tiles)
+    ar_id_2x2 = (
+        aspect_ratio_to_id((2, 2), embedder.max_tiles)
+        if embed_tiles == 4
+        else None
+    )
     emb_model = embedder.model
     emb_vars_dev = _device_vars(embedder.variables)
 

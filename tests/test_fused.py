@@ -338,3 +338,42 @@ class TestServeParity:
         assert metrics["letterbox"][2] >= metrics["squeeze"][2] - 0.01, metrics
         assert metrics["letterbox"][0] >= 0.15, metrics
         assert metrics["letterbox"][2] >= 0.55, metrics
+
+
+class TestSingleTileSplit:
+    def test_split_builder_single_tile_max_tiles_1(self):
+        """Regression: build_split_page_fn with a max_tiles=1 embedder
+        config (the mme5_2b serving layout) must not require the (2,2)
+        canvas id — that id only exists for multi-tile configs (the
+        bench --family mme5 crash, round 3)."""
+        import dataclasses as dc
+
+        import jax
+
+        from multimodal_embeddings_tpu.config import (
+            DetectorConfig,
+            EmbedderConfig,
+        )
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+        from multimodal_embeddings_tpu.pipeline.fused import build_split_page_fn
+
+        det = LayoutDetector(
+            DetectorConfig(image_size=128, variant="n", grid_configs=()),
+            dtype=jnp.float32,
+        )
+        tiny = MllamaConfig.tiny()
+        tiny = dc.replace(tiny, vision=dc.replace(tiny.vision, max_tiles=1))
+        emb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"), model_config=tiny
+        )
+        fn = build_split_page_fn(
+            det, emb, (200, 160), num_regions=4, embed_chunk=2
+        )
+        page = np.random.default_rng(2).integers(0, 255, (200, 160, 3)).astype(
+            np.uint8
+        )
+        out = fn(jnp.asarray(page))
+        assert out.embeddings.shape[0] == 4
+        assert np.all(np.isfinite(np.asarray(out.embeddings)))

@@ -83,3 +83,79 @@ def test_matches_flax_layernorm_dense():
         rtol=2e-2,
         atol=2e-2,
     )
+
+
+def test_bias_variant():
+    """Projection-bias fusion (the fc1 site) matches flax nn.Dense."""
+    from flax import linen as nn
+
+    class Seq(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.LayerNorm(dtype=jnp.bfloat16, name="ln")(x)
+            return nn.Dense(256, dtype=jnp.bfloat16, name="fc1")(h)
+
+    x = jax.random.normal(jax.random.key(3), (80, 128), jnp.bfloat16)
+    mod = Seq()
+    vars_ = mod.init(jax.random.key(4), x)
+    # give the zero-init bias real values
+    import jax.tree_util as jtu
+
+    vars_ = jtu.tree_map(
+        lambda a: a
+        if a.ndim != 1 or a.shape[0] != 256
+        else jax.random.normal(jax.random.key(5), a.shape, a.dtype) * 0.1,
+        vars_,
+    )
+    want = mod.apply(vars_, x)
+    p = vars_["params"]
+    got = ln_matmul(
+        x,
+        p["ln"]["scale"].astype(jnp.float32),
+        p["ln"]["bias"].astype(jnp.float32),
+        p["fc1"]["kernel"].astype(jnp.bfloat16),
+        bias=p["fc1"]["bias"].astype(jnp.bfloat16),
+        block_m=128,
+        block_n=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_encoder_block_fused_matches_unfused(monkeypatch):
+    """EncoderBlock(fuse_ln=True) under the interpret override: identical
+    param tree to the unfused block, and outputs equal within bf16
+    tolerance (locks the fused serving path's numerics end-to-end)."""
+    from multimodal_embeddings_tpu.models.transformer import EncoderBlock
+
+    x = jax.random.normal(jax.random.key(6), (2, 16, 128), jnp.bfloat16)
+    plain = EncoderBlock(num_heads=2, dtype=jnp.bfloat16, fuse_ln=False)
+    fused = EncoderBlock(num_heads=2, dtype=jnp.bfloat16, fuse_ln=True)
+    vars_plain = plain.init(jax.random.key(7), x)
+    monkeypatch.setenv("MMTPU_LN_FUSE_INTERPRET", "1")
+    vars_fused = fused.init(jax.random.key(7), x)
+    # same tree: checkpoints/hf_port maps are oblivious to the fusion
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda v: v.shape, vars_plain)
+    ) == jax.tree_util.tree_structure(
+        jax.tree.map(lambda v: v.shape, vars_fused)
+    )
+    assert jax.tree.map(lambda v: v.shape, vars_plain) == jax.tree.map(
+        lambda v: v.shape, vars_fused
+    )
+    want = plain.apply(vars_plain, x)
+    got = fused.apply(vars_plain, x)
+    monkeypatch.delenv("MMTPU_LN_FUSE_INTERPRET")
+    # without the override (CPU backend) the fused flag falls back to the
+    # unfused path and must also agree
+    fallback = fused.apply(vars_plain, x)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fallback, np.float32), np.asarray(want, np.float32)
+    )
