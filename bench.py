@@ -74,6 +74,7 @@ def build_pipeline(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
+    closure_weights: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -183,9 +184,12 @@ def build_pipeline(
             letterbox=letterbox,
         )
     else:
+        # closure_weights inlines the small siglip/detector trees as program
+        # constants (XLA folds BN into convs; measured A/B vs arg-passing —
+        # ROADMAP); the mme5 paths above always pass weights as arguments
         fused = build_fused_page_fn(
             detector, embedder, page_hw, num_regions=n_regions,
-            letterbox=letterbox,
+            letterbox=letterbox, closure_weights=closure_weights,
         )
     return fused, page_hw, n_regions
 
@@ -201,6 +205,7 @@ def run_bench(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
+    closure_weights: bool = True,
 ) -> dict:
     import contextlib
 
@@ -215,6 +220,7 @@ def run_bench(
         letterbox=letterbox,
         mme5_size=mme5_size,
         fuse_ln=fuse_ln,
+        closure_weights=closure_weights,
     )
     page = make_page(*page_hw)
 
@@ -488,6 +494,13 @@ def main() -> None:
         "Pallas spatial-on-lanes conv kernel (0 = XLA convs)",
     )
     parser.add_argument(
+        "--arg-weights",
+        action="store_true",
+        help="pass model trees as jit arguments instead of closure "
+        "constants in the single-program (siglip) path (the mme5 paths "
+        "always use arguments; A/B for the constant-folding cost)",
+    )
+    parser.add_argument(
         "--fuse-ln",
         action="store_true",
         help="fused LayerNorm->matmul Pallas prologue in the embedder "
@@ -525,6 +538,7 @@ def main() -> None:
         letterbox=args.letterbox,
         mme5_size=args.mme5_size,
         fuse_ln=args.fuse_ln,
+        closure_weights=not args.arg_weights,
     )
 
     vs_baseline = None

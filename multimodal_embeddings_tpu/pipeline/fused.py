@@ -223,16 +223,30 @@ def build_fused_detect_fn(
     num_regions: int = 48,
     emb_size: int = 448,
     letterbox: bool = False,
+    closure_weights: bool = False,
 ):
     """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
     embedding forward: the two-program serving split for embedders whose
     combined program exceeds the remote compiler (e.g. the 1601-token
-    Mllama vision tower at 48 crops — CLAUDE.md's documented limit)."""
+    Mllama vision tower at 48 crops — CLAUDE.md's documented limit).
+
+    ``closure_weights=True`` inlines the (small) detector tree into the
+    program as constants instead of passing it as a jit argument — XLA can
+    then fold BatchNorm scales into conv weights and pre-lay-out
+    constants. Safe only for small trees (large ones stall the remote
+    compiler's HLO serialization — advisor r2 / CLAUDE.md)."""
     detect_and_crop = _make_detect_crop(
         detector, page_hw, num_regions, emb_size, letterbox=letterbox
     )
-    jitted = jax.jit(detect_and_crop)
     det_vars = _device_vars(detector.variables)
+    if closure_weights:
+        jitted1 = jax.jit(lambda page: detect_and_crop(det_vars, page))
+
+        def fn(page):
+            return jitted1(page)
+
+        return fn
+    jitted = jax.jit(detect_and_crop)
 
     def fn(page):
         return jitted(det_vars, page)
@@ -258,6 +272,7 @@ def build_fused_page_fn(
     embed_chunk: int = 0,
     letterbox: bool = False,
     embed_tiles: int = 1,
+    closure_weights: bool = False,
 ):
     """Compile the fused page function for a fixed page-shape bucket.
 
@@ -351,12 +366,24 @@ def build_fused_page_fn(
             )
         return PageResult(top_boxes, top_scores, top_classes, top_valid, emb)
 
-    jitted = jax.jit(fused)
     det_vars_dev = _device_vars(detector.variables)
     emb_vars_dev = _device_vars(emb_vars)
+    if closure_weights:
+        # inline both (small) trees as program constants: XLA folds BN into
+        # conv weights and pre-lays-out parameters (measured A/B — see
+        # ROADMAP "weights as arguments"); large trees must NOT take this
+        # path (remote-compiler HLO serialization stall)
+        jitted1 = jax.jit(
+            lambda page: fused(det_vars_dev, emb_vars_dev, page)
+        )
 
-    def fn(page):
-        return jitted(det_vars_dev, emb_vars_dev, page)
+        def fn(page):
+            return jitted1(page)
+    else:
+        jitted = jax.jit(fused)
+
+        def fn(page):
+            return jitted(det_vars_dev, emb_vars_dev, page)
 
     # exposed for build_fused_batch_fn's vmap composition
     fn._fused3 = fused

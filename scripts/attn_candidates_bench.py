@@ -27,6 +27,12 @@ import time
 
 import numpy as np
 
+sys_path_root = __file__.rsplit("/", 2)[0]
+import sys as _sys
+
+if sys_path_root not in _sys.path:
+    _sys.path.insert(0, sys_path_root)
+
 
 def _setup():
     import jax
