@@ -74,7 +74,7 @@ def build_pipeline(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
-    closure_weights: bool = True,
+    closure_weights: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -205,7 +205,7 @@ def run_bench(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
-    closure_weights: bool = True,
+    closure_weights: bool = False,
 ) -> dict:
     import contextlib
 
@@ -494,11 +494,12 @@ def main() -> None:
         "Pallas spatial-on-lanes conv kernel (0 = XLA convs)",
     )
     parser.add_argument(
-        "--arg-weights",
+        "--closure-weights",
         action="store_true",
-        help="pass model trees as jit arguments instead of closure "
-        "constants in the single-program (siglip) path (the mme5 paths "
-        "always use arguments; A/B for the constant-folding cost)",
+        help="inline model trees as program constants in the single-"
+        "program (siglip) path — MEASURED UNUSABLE on the current tunnel "
+        "(remote compiler rejects the constant-laden body with HTTP 413); "
+        "kept for local-runtime A/Bs",
     )
     parser.add_argument(
         "--fuse-ln",
@@ -538,7 +539,7 @@ def main() -> None:
         letterbox=args.letterbox,
         mme5_size=args.mme5_size,
         fuse_ln=args.fuse_ln,
-        closure_weights=not args.arg_weights,
+        closure_weights=args.closure_weights,
     )
 
     vs_baseline = None

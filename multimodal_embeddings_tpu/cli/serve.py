@@ -120,6 +120,7 @@ class FusedServer:
                     bucket,
                     num_regions=self.args.num_regions,
                     embed_chunk=chunk,
+                    letterbox=not self.args.squeeze_views,
                 )
             else:
                 self._page_fns[bucket] = build_fused_page_fn(
@@ -127,6 +128,7 @@ class FusedServer:
                     self.embedder,
                     bucket,
                     num_regions=self.args.num_regions,
+                    letterbox=not self.args.squeeze_views,
                 )
         return self._page_fns[bucket]
 
@@ -232,6 +234,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="int8 weight-only mme5 embedder (single-chip 11B serving; "
         "models/quantized.py)",
+    )
+    parser.add_argument(
+        "--squeeze_views",
+        action="store_true",
+        help="aspect-squeeze view resize instead of the default letterbox "
+        "(2.3%% faster, but detection agreement with the exact stage chain "
+        "drops from 0.69 to 0.39 precision — SERVE_PARITY.json)",
     )
     parser.add_argument("--watch", action="store_true", help="poll for new pages")
     parser.add_argument("--poll_interval", type=float, default=5.0)
