@@ -183,7 +183,10 @@ class TilePositionalEmbedding(nn.Module):
         emb = jnp.asarray(table)[aspect_ratio_ids].reshape(
             -1, self.max_tiles, 1, self.width
         )
-        return x + jnp.tanh(gate) * emb.astype(x.dtype)
+        # short tile stacks (t < max_tiles) use the FIRST t slots — HF
+        # packs canvas tiles densely, so slot i is tile i for every
+        # aspect ratio
+        return x + jnp.tanh(gate) * emb[:, : x.shape[1]].astype(x.dtype)
 
 
 class GatedPositionalEmbedding(nn.Module):
@@ -215,7 +218,8 @@ class GatedPositionalEmbedding(nn.Module):
         tile_pos = jnp.asarray(tile_table)[aspect_ratio_ids].reshape(
             -1, self.max_tiles, self.num_patches, self.width
         )
-        return x + (g * tile_pos).astype(x.dtype)
+        # first-t slots for short stacks (see TilePositionalEmbedding)
+        return x + (g * tile_pos[:, : x.shape[1]]).astype(x.dtype)
 
 
 def _pad_to_multiple(n: int, m: int) -> int:
@@ -247,10 +251,13 @@ class MllamaVisionEncoder(nn.Module):
         cfg = self.config
         p = cfg.patch_size
         b, t = images.shape[0], images.shape[1]
-        # the aspect-ratio tables address exactly max_tiles slots; a short
-        # stack would silently broadcast against them
-        assert t == cfg.max_tiles, (
-            f"expected a full {cfg.max_tiles}-tile stack, got {t} tiles"
+        # short stacks run the tower on t tiles only: a single-tile input
+        # through a max_tiles=4 model pays 1/4 of the token count (and
+        # ~1/16 of the attention-score work) instead of processing three
+        # masked-out zero tiles the way HF does — valid-token outputs are
+        # identical because padding tiles were hard-masked as keys anyway
+        assert t <= cfg.max_tiles, (
+            f"tile stack ({t}) exceeds max_tiles ({cfg.max_tiles})"
         )
         x = nn.Conv(
             cfg.width,
@@ -451,24 +458,20 @@ class MmE5Embedder(nn.Module):
             if single_tile:
                 images = images[:, None]
             b, t = images.shape[0], images.shape[1]
-            max_t = self.config.vision.max_tiles
-            if t < max_t:
-                # the aspect-ratio tile tables address max_tiles slots —
-                # always present a full (zero-padded) tile stack
-                images = jnp.pad(
-                    images, ((0, 0), (0, max_t - t), (0, 0), (0, 0), (0, 0))
-                )
+            # short stacks are processed AS-IS (t tiles, not padded to
+            # max_tiles): the tower slices its tile tables to the first t
+            # slots and valid-token outputs match the padded-stack result
+            # exactly (padding tiles were masked keys) — a 4x token-count
+            # saving for the dominant single-tile region-crop workload
             if aspect_ratio_ids is None:
                 # id 1 = the (1,1) single-tile arrangement
                 aspect_ratio_ids = jnp.ones((b,), jnp.int32)
             if tile_mask is None:
-                # first t tiles valid, padding tiles masked
-                tile_mask = jnp.broadcast_to(
-                    (jnp.arange(max_t)[None] < t).astype(jnp.int32), (b, max_t)
-                )
-            elif tile_mask.shape[1] < max_t:
-                tile_mask = jnp.pad(
-                    tile_mask, ((0, 0), (0, max_t - tile_mask.shape[1]))
+                tile_mask = jnp.ones((b, t), jnp.int32)
+            else:
+                assert tile_mask.shape[1] == t, (
+                    f"tile_mask covers {tile_mask.shape[1]} tiles, images "
+                    f"carry {t}"
                 )
             vision_states, vision_mask = self.vision_model(
                 images, aspect_ratio_ids, tile_mask

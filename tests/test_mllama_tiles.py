@@ -283,3 +283,42 @@ class TestFusedMultiTile:
         assert out.embeddings.shape[0] == 4
         norms = np.linalg.norm(np.asarray(out.embeddings), axis=-1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+
+
+def test_short_stack_matches_padded_stack():
+    """A single-tile input run as a t=1 stack must embed identically to
+    the same tile zero-padded to the full max_tiles stack with padding
+    tiles masked (the HF layout). This is the 4x-token-count serving
+    optimization for single-tile region crops — padding tiles were
+    hard-masked attention keys, so valid-token outputs are equal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_embeddings_tpu.models.embedder import (
+        deterministic_init_multi,
+    )
+    from multimodal_embeddings_tpu.models.mme5 import MllamaConfig, MmE5Embedder
+    from multimodal_embeddings_tpu.parallel import sharding as psharding
+
+    cfg = MllamaConfig.tiny()  # max_tiles=4
+    model = MmE5Embedder(cfg, dtype=jnp.float32)
+    size = cfg.vision.image_size
+    b = 2
+    ids = jnp.ones((b, 8), jnp.int32)
+    mask = jnp.ones((b, 8), jnp.int32)
+    tile = jax.random.normal(jax.random.key(0), (b, 1, size, size, 3))
+    variables = psharding.unbox(
+        deterministic_init_multi(
+            model, (ids, mask, tile), seed=0
+        )
+    )
+
+    short = model.apply(variables, ids, mask, tile)  # t=1 stack
+    padded_imgs = jnp.pad(tile, ((0, 0), (0, 3), (0, 0), (0, 0), (0, 0)))
+    tmask = jnp.asarray([[1, 0, 0, 0]] * b, jnp.int32)
+    ar = jnp.ones((b,), jnp.int32)
+    padded = model.apply(variables, ids, mask, padded_imgs, ar, tmask)
+    np.testing.assert_allclose(
+        np.asarray(short), np.asarray(padded), atol=2e-5
+    )
