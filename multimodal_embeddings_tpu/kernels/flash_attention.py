@@ -192,7 +192,13 @@ def _flash_kernel_v2(
 ):
     """One program per batch-head: K/V are resident for ALL q-blocks, so
     HBM traffic per (batch, head) is one K/V read instead of one per
-    q-block — the variant that beats the XLA path at encoder scale."""
+    q-block. Measured round 3 (scripts/attn_candidates_results.json):
+    still LOSES to the XLA bf16-logits path at encoder scale (13.3 vs
+    6.4 ms at B48 L784 H12 D64; 10.2 vs 5.6 ms at B8 L1608 H16 D80) —
+    the head transposes at the kernel boundary stay materialized. It wins
+    12x at the masked 6432-token 4-tile shape (32.7 vs 407 ms), but short
+    tile stacks (models/mme5.py) removed that shape from the serving
+    path; kept for long-context generation and future shapes."""
     l = k_ref.shape[1]
     dv = v_ref.shape[2]
     n_qblocks = l // block_q
