@@ -131,8 +131,10 @@ def build_pipeline(
             if fuse_ln:
                 import dataclasses as _dc
 
+                # fc1 site only: the measured-win site for the 1280-wide
+                # tower (ln_matmul_results.json)
                 mcfg = _dc.replace(
-                    mcfg, vision=_dc.replace(mcfg.vision, fuse_ln=True)
+                    mcfg, vision=_dc.replace(mcfg.vision, fuse_ln="mlp")
                 )
             embedder = MultimodalEmbedder(
                 EmbedderConfig(family="mme5", dtype="bfloat16"),

@@ -61,8 +61,9 @@ class MllamaVisionConfig:
     # max_tiles 560px tiles with aspect-ratio-gated tile embeddings)
     max_tiles: int = 4
     # fused LayerNorm→matmul Pallas prologue in the local blocks (TPU
-    # only; kernels/ln_matmul.py — measured decision, see ROADMAP)
-    fuse_ln: bool = False
+    # only; kernels/ln_matmul.py): False | True | "attn" | "mlp" — the
+    # measured win is the fc1 ("mlp") site only (ROADMAP)
+    fuse_ln: object = False
 
     @property
     def patches_per_tile(self) -> int:

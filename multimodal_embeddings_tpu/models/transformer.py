@@ -465,17 +465,20 @@ class GeluMLP(nn.Module):
 class EncoderBlock(nn.Module):
     """Pre-LN ViT/BERT-style block (LayerNorm + MHA + GELU MLP).
 
-    ``fuse_ln=True`` routes both pre-LNs through the fused
-    LayerNorm→matmul Pallas prologue (``kernels/ln_matmul.py``) on TPU,
-    eliminating the normalized-activation HBM round trip before the QKV
-    and fc1 projections; the param tree is identical either way, and
-    non-TPU backends silently fall back to the unfused path."""
+    ``fuse_ln`` routes pre-LNs through the fused LayerNorm→matmul Pallas
+    prologue (``kernels/ln_matmul.py``) on TPU, eliminating the
+    normalized-activation HBM round trip before the projection. Values:
+    ``False`` (off), ``True`` (both sites), ``"attn"`` / ``"mlp"``
+    (one site — the measured win is site-dependent: the mme5 tower's
+    fc1 site gains 16%, its qkv site loses; see ROADMAP). The param
+    tree is identical either way, and non-TPU backends silently fall
+    back to the unfused path."""
 
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     quantize: bool = False
-    fuse_ln: bool = False
+    fuse_ln: Any = False  # False | True | "attn" | "mlp"
 
     @nn.compact
     def __call__(
@@ -487,6 +490,8 @@ class EncoderBlock(nn.Module):
         d = x.shape[-1]
         mode = _ln_fuse_mode() if self.fuse_ln and not self.quantize else None
         fuse = mode is not None and x.dtype == jnp.bfloat16 and d % 128 == 0
+        fuse_attn = fuse and self.fuse_ln in (True, "attn")
+        fuse_mlp = fuse and self.fuse_ln in (True, "mlp")
         attn = Attention(
             num_heads=self.num_heads,
             head_dim=d // self.num_heads,
@@ -500,20 +505,21 @@ class EncoderBlock(nn.Module):
             quantize=self.quantize,
             name="mlp",
         )
-        if fuse:
+        if fuse_attn:
             scale1, bias1 = _LNParams(d, name="ln1")()
             h = attn(
                 x, mask=mask, kv_lengths=kv_lengths, pre_ln=(scale1, bias1, mode)
             )
-            x = x + h
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+            h = attn(h, mask=mask, kv_lengths=kv_lengths)
+        x = x + h
+        if fuse_mlp:
             scale2, bias2 = _LNParams(d, name="ln2")()
             h = mlp(x, pre_ln=(scale2, bias2, mode))
-            return x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        h = attn(h, mask=mask, kv_lengths=kv_lengths)
-        x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = mlp(h)
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+            h = mlp(h)
         return x + h
 
 
