@@ -30,6 +30,10 @@ import numpy as np
 # measured default for the detector's Pallas conv routing (see ROADMAP
 # "Round-3 conv strategy"); override with --pallas-convs
 DEFAULT_PALLAS_CONVS = 0
+# which trees ride as jit-closure constants in the headline program (see
+# ROADMAP "weights as arguments" — A/B'd on chip); override with
+# --closure-weights
+DEFAULT_CLOSURE_WEIGHTS = "none"
 
 
 def _setup_jax() -> None:
@@ -74,7 +78,7 @@ def build_pipeline(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
-    closure_weights: bool = False,
+    closure_weights: str = "none",
 ):
     import jax
     import jax.numpy as jnp
@@ -207,7 +211,7 @@ def run_bench(
     letterbox: bool = False,
     mme5_size: str = "2b",
     fuse_ln: bool = False,
-    closure_weights: bool = False,
+    closure_weights: str = "none",
 ) -> dict:
     import contextlib
 
@@ -497,11 +501,13 @@ def main() -> None:
     )
     parser.add_argument(
         "--closure-weights",
-        action="store_true",
-        help="inline model trees as program constants in the single-"
-        "program (siglip) path — MEASURED UNUSABLE on the current tunnel "
-        "(remote compiler rejects the constant-laden body with HTTP 413); "
-        "kept for local-runtime A/Bs",
+        choices=("none", "detector", "embedder", "both"),
+        default=DEFAULT_CLOSURE_WEIGHTS,
+        help="which model trees to inline as program constants in the "
+        "single-program (siglip) path. 'both' (~200MB of HLO constants) is "
+        "MEASURED UNUSABLE on the current tunnel (remote compiler rejects "
+        "the body with HTTP 413); 'detector' inlines only the ~33MB conv "
+        "tree where XLA's BN-into-conv constant folding pays",
     )
     parser.add_argument(
         "--fuse-ln",

@@ -368,17 +368,38 @@ def build_fused_page_fn(
 
     det_vars_dev = _device_vars(detector.variables)
     emb_vars_dev = _device_vars(emb_vars)
-    if closure_weights:
-        # inline both (small) trees as program constants: XLA folds BN into
-        # conv weights and pre-lays-out parameters (measured A/B — see
-        # ROADMAP "weights as arguments"); large trees must NOT take this
-        # path (remote-compiler HLO serialization stall)
+    # closure_weights: which trees to inline as program constants — XLA
+    # folds BN into conv weights and pre-lays-out inlined parameters
+    # (measured A/B — ROADMAP "weights as arguments"). True/"both" inlines
+    # everything (ViT-B + detector ≈ 200MB of HLO constants — the tunnel's
+    # remote compiler rejects the body with HTTP 413, kept for local
+    # runtimes); "detector" inlines only the ~33MB conv tree, where the
+    # constant folding actually pays (convs are 81% of page device time),
+    # and keeps the embedder as an argument.
+    mode = (
+        "both" if closure_weights is True else (closure_weights or "none")
+    )
+    if mode == "both":
         jitted1 = jax.jit(
             lambda page: fused(det_vars_dev, emb_vars_dev, page)
         )
 
         def fn(page):
             return jitted1(page)
+    elif mode == "detector":
+        jitted_d = jax.jit(
+            lambda ev, page: fused(det_vars_dev, ev, page)
+        )
+
+        def fn(page):
+            return jitted_d(emb_vars_dev, page)
+    elif mode == "embedder":
+        jitted_e = jax.jit(
+            lambda dv, page: fused(dv, emb_vars_dev, page)
+        )
+
+        def fn(page):
+            return jitted_e(det_vars_dev, page)
     else:
         jitted = jax.jit(fused)
 

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-3 TPU chain, part 4: closure-weights A/B (detector-only closure —
+# the 413-safe slice of the round-2 constant-folding win) + the measured-
+# candidate fc1-site LN fusion in the mme5 tower.
+set -u
+cd /root/repo
+LOGDIR=/tmp/tpu_bench_logs
+mkdir -p "$LOGDIR"
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$LOGDIR/chain4.log"
+  timeout 10000 "$@" >"$LOGDIR/$name.log" 2>&1
+  rc=$?
+  echo "=== $name done rc=$rc ($(date +%H:%M:%S))" | tee -a "$LOGDIR/chain4.log"
+  grep -v "SIGILL\|machine feature" "$LOGDIR/$name.log" | tail -3 | tee -a "$LOGDIR/chain4.log"
+}
+
+run headline_closure_det python bench.py --closure-weights detector
+run mme5_fuse_ln         python bench.py --family mme5 --fuse-ln
+echo "ALL DONE ($(date +%H:%M:%S))" | tee -a "$LOGDIR/chain4.log"
