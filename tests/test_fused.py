@@ -65,6 +65,37 @@ class TestFused:
             np.asarray(a.embeddings), np.asarray(b.embeddings)
         )
 
+    @pytest.mark.parametrize("mode", ["detector", "embedder", "both"])
+    def test_closure_weight_modes_match_arguments(self, fused_fn, mode):
+        """Inlining either tree as program constants (the serving A/B —
+        'detector' is the 413-safe production candidate) must not change
+        the result vs the weights-as-arguments baseline."""
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=((2, 2),),
+                max_detections=64,
+            ),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        fn = build_fused_page_fn(
+            detector, embedder, (400, 300), num_regions=8,
+            closure_weights=mode,
+        )
+        rng = np.random.default_rng(0)
+        page = rng.integers(0, 255, (400, 300, 3)).astype(np.uint8)
+        base = fused_fn(jnp.asarray(page))
+        got = fn(jnp.asarray(page))
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(base.boxes), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.embeddings), np.asarray(base.embeddings), atol=1e-5
+        )
+
 
 class TestFusedBatch:
     def test_batched_matches_single(self, fused_fn):
