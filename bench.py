@@ -30,10 +30,12 @@ import numpy as np
 # measured default for the detector's Pallas conv routing (see ROADMAP
 # "Round-3 conv strategy"); override with --pallas-convs
 DEFAULT_PALLAS_CONVS = 0
-# which trees ride as jit-closure constants in the headline program (see
-# ROADMAP "weights as arguments" — A/B'd on chip); override with
-# --closure-weights
-DEFAULT_CLOSURE_WEIGHTS = "none"
+# which trees ride as jit-closure constants in the headline program —
+# measured A/B 2026-08-17: args 4.208, detector-closure 5.069 (+20%: the
+# 33MB constant tree lets XLA lay out the conv stack without the 39
+# ms/page of activation relayout copies args mode pays), both-closure
+# rejected by the tunnel (HTTP 413). Override with --closure-weights.
+DEFAULT_CLOSURE_WEIGHTS = "detector"
 
 
 def _setup_jax() -> None:
@@ -525,6 +527,16 @@ def main() -> None:
     args = parser.parse_args()
     if args.family == "mme5" and args.mme5_size == "11b" and args.pages == 8:
         args.pages = 2  # ~35s/page at 11B; 2 timed pages bound the run
+    # A/B runs with non-default experiment flags must not overwrite the
+    # canonical BENCH_*.json records (a --fuse-ln loss once clobbered the
+    # default-path BENCH_MME5 number).
+    args.record = (
+        not args.fuse_ln
+        and args.pallas_convs == DEFAULT_PALLAS_CONVS
+        and not args.letterbox
+        and args.mme5_chunk == 8
+        and args.batch == 1
+    )
     _setup_jax()
 
     here = os.path.dirname(__file__) or "."
@@ -588,13 +600,14 @@ def main() -> None:
                 "vs the chip's 197 TFLOP/s bf16 peak reported instead",
                 "measured": time.strftime("%Y-%m-%d"),
             }
-            with open(os.path.join(here, "BENCH_MME5_11B.json"), "w") as f:
-                json.dump(out, f, indent=2)
+            if args.record:
+                with open(os.path.join(here, "BENCH_MME5_11B.json"), "w") as f:
+                    json.dump(out, f, indent=2)
             print(json.dumps({k: out[k] for k in ("metric", "value", "unit",
                                                   "ms_per_crop",
                                                   "mfu_vs_197tflops_bf16")}))
             return
-        if not args.quick:
+        if not args.quick and args.record:
             mme5_base = None
             mb_path = os.path.join(here, "BASELINE_CPU_MME5.json")
             if os.path.exists(mb_path):
