@@ -81,6 +81,7 @@ def build_pipeline(
     mme5_size: str = "2b",
     fuse_ln: bool = False,
     closure_weights: str = "none",
+    auto_layouts: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -198,6 +199,7 @@ def build_pipeline(
         fused = build_fused_page_fn(
             detector, embedder, page_hw, num_regions=n_regions,
             letterbox=letterbox, closure_weights=closure_weights,
+            auto_layouts=auto_layouts,
         )
     return fused, page_hw, n_regions
 
@@ -214,6 +216,7 @@ def run_bench(
     mme5_size: str = "2b",
     fuse_ln: bool = False,
     closure_weights: str = "none",
+    auto_layouts: bool = False,
 ) -> dict:
     import contextlib
 
@@ -229,6 +232,7 @@ def run_bench(
         mme5_size=mme5_size,
         fuse_ln=fuse_ln,
         closure_weights=closure_weights,
+        auto_layouts=auto_layouts,
     )
     page = make_page(*page_hw)
 
@@ -512,6 +516,14 @@ def main() -> None:
         "tree where XLA's BN-into-conv constant folding pays",
     )
     parser.add_argument(
+        "--auto-layouts",
+        action="store_true",
+        help="let XLA choose the embedder ARGUMENT layouts (AOT lower/"
+        "compile with Layout.AUTO, then device_put the tree into the "
+        "compiled input formats) — the args-mode relayout-copy candidate "
+        "(detector-closure mode only)",
+    )
+    parser.add_argument(
         "--fuse-ln",
         action="store_true",
         help="fused LayerNorm->matmul Pallas prologue in the embedder "
@@ -536,6 +548,7 @@ def main() -> None:
         and not args.letterbox
         and args.mme5_chunk == 8
         and args.batch == 1
+        and not args.auto_layouts
     )
     _setup_jax()
 
@@ -560,6 +573,7 @@ def main() -> None:
         mme5_size=args.mme5_size,
         fuse_ln=args.fuse_ln,
         closure_weights=args.closure_weights,
+        auto_layouts=args.auto_layouts,
     )
 
     vs_baseline = None

@@ -129,6 +129,10 @@ class FusedServer:
                     bucket,
                     num_regions=self.args.num_regions,
                     letterbox=not self.args.squeeze_views,
+                    # measured +20%: detector tree as program constants,
+                    # embedder as an argument (ROADMAP "args-mode
+                    # regression"; 'both' exceeds the tunnel's HTTP limit)
+                    closure_weights="detector",
                 )
         return self._page_fns[bucket]
 

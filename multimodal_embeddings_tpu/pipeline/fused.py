@@ -273,6 +273,7 @@ def build_fused_page_fn(
     letterbox: bool = False,
     embed_tiles: int = 1,
     closure_weights: bool = False,
+    auto_layouts: bool = False,
 ):
     """Compile the fused page function for a fixed page-shape bucket.
 
@@ -387,12 +388,41 @@ def build_fused_page_fn(
         def fn(page):
             return jitted1(page)
     elif mode == "detector":
-        jitted_d = jax.jit(
-            lambda ev, page: fused(det_vars_dev, ev, page)
-        )
+        if auto_layouts:
+            # Let XLA pick the ARGUMENT layouts for the embedder tree
+            # instead of imposing the default major-to-minor ones: in args
+            # mode layout assignment must honor the given input layouts and
+            # pays activation relayout copies between fusions (measured
+            # 39 ms/page — ROADMAP "args-mode regression"); AUTO recovers
+            # the constant-layout freedom of closure mode without inlining
+            # the tree into the HLO (tunnel HTTP 413 limit).
+            from jax.experimental.layout import Format, Layout
 
-        def fn(page):
-            return jitted_d(emb_vars_dev, page)
+            fmt_tree = jax.tree.map(
+                lambda _: Format(Layout.AUTO), emb_vars_dev
+            )
+            jitted_a = jax.jit(
+                lambda ev, page: fused(det_vars_dev, ev, page),
+                in_shardings=(fmt_tree, None),
+            )
+            page_spec = jax.ShapeDtypeStruct(
+                (*page_hw, 3), jnp.uint8
+            )
+            compiled = jitted_a.lower(emb_vars_dev, page_spec).compile()
+            ev_fmts = compiled.input_formats[0][0]
+            emb_vars_fmt = jax.tree.map(
+                jax.device_put, emb_vars_dev, ev_fmts
+            )
+
+            def fn(page):
+                return compiled(emb_vars_fmt, page)
+        else:
+            jitted_d = jax.jit(
+                lambda ev, page: fused(det_vars_dev, ev, page)
+            )
+
+            def fn(page):
+                return jitted_d(emb_vars_dev, page)
     elif mode == "embedder":
         jitted_e = jax.jit(
             lambda dv, page: fused(dv, emb_vars_dev, page)
@@ -420,6 +450,7 @@ def build_split_page_fn(
     embed_chunk: int = 8,
     letterbox: bool = False,
     embed_tiles: int = 1,
+    closure_weights: bool = True,
 ):
     """Two-program serving split: ONE fused detect+crop program plus
     ``num_regions/embed_chunk`` executions of one compiled embed program,
@@ -438,8 +469,13 @@ def build_split_page_fn(
     assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
     emb_size = embedder.image_size
     crop_size = emb_size * (2 if embed_tiles == 4 else 1)
+    # detector-closure by default: inlining the ~33MB conv tree as program
+    # constants lets XLA lay out the conv stack freely — measured +20% on
+    # the detect program vs weights-as-arguments (ROADMAP "args-mode
+    # regression"); the big embedder tree always rides as an argument
     detect_fn = build_fused_detect_fn(
-        detector, page_hw, num_regions, crop_size, letterbox=letterbox
+        detector, page_hw, num_regions, crop_size, letterbox=letterbox,
+        closure_weights=closure_weights,
     )
 
     from multimodal_embeddings_tpu.models.mllama_processor import (

@@ -96,6 +96,36 @@ class TestFused:
             np.asarray(got.embeddings), np.asarray(base.embeddings), atol=1e-5
         )
 
+    def test_auto_layouts_matches_arguments(self, fused_fn):
+        """detector-closure + AUTO embedder-argument layouts (the AOT
+        lower/compile + device_put-into-input-formats serving variant) must
+        reproduce the default-layout result."""
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=((2, 2),),
+                max_detections=64,
+            ),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        fn = build_fused_page_fn(
+            detector, embedder, (400, 300), num_regions=8,
+            closure_weights="detector", auto_layouts=True,
+        )
+        rng = np.random.default_rng(0)
+        page = rng.integers(0, 255, (400, 300, 3)).astype(np.uint8)
+        base = fused_fn(jnp.asarray(page))
+        got = fn(jnp.asarray(page))
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(base.boxes), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.embeddings), np.asarray(base.embeddings), atol=1e-5
+        )
+
 
 class TestFusedBatch:
     def test_batched_matches_single(self, fused_fn):
