@@ -170,11 +170,14 @@ def build_pipeline(
             build_split_page_fn,
         )
 
-        if mme5_size == "11b":
-            # batch 2 is the measured OOM envelope for the 11B masked
-            # vision attention (int8_11b_smoke: batch 2 fits after the
-            # bf16-logits change, batch 8 OOMs)
-            mme5_chunk = min(mme5_chunk, 2)
+        if mme5_size == "11b" and mme5_chunk == 8:
+            # default mapping only (explicit --mme5-chunk overrides): chunk
+            # 2 was the measured OOM envelope for the OLD 4-tile 6432-token
+            # masked vision attention (int8_11b_smoke); short tile stacks
+            # cut single-tile crops to 1608 tokens (~660MB logits at chunk
+            # 8), so larger chunks — which amortize the ~10GB int8 weight
+            # stream per chunk execution — are now A/B-able
+            mme5_chunk = 2
         fused = build_split_page_fn(
             detector,
             embedder,
@@ -275,6 +278,7 @@ def run_bench(
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "flops_info": getattr(fused, "_flops_info", None),
+        "mme5_chunk": getattr(fused, "_chunk", None),
     }
 
 
@@ -489,8 +493,10 @@ def main() -> None:
     parser.add_argument(
         "--mme5-chunk",
         type=int,
-        default=8,
-        help="region-embed chunk size for the mme5 two-program split",
+        default=None,
+        help="region-embed chunk size for the mme5 two-program split "
+        "(default: 8 at 2B, 2 at 11B — the 11B default predates short "
+        "tile stacks; explicit values override the size-based default)",
     )
     parser.add_argument(
         "--profile",
@@ -546,10 +552,12 @@ def main() -> None:
         not args.fuse_ln
         and args.pallas_convs == DEFAULT_PALLAS_CONVS
         and not args.letterbox
-        and args.mme5_chunk == 8
+        and args.mme5_chunk is None
         and args.batch == 1
         and not args.auto_layouts
     )
+    if args.mme5_chunk is None:
+        args.mme5_chunk = 8  # run_bench maps the 11B default internally
     _setup_jax()
 
     here = os.path.dirname(__file__) or "."
@@ -587,13 +595,14 @@ def main() -> None:
     if args.family == "mme5":
         if args.mme5_size == "11b" and not args.quick:
             flops = (info.get("flops_info") or {}).get("embed_flops_per_chunk")
+            chunk = info.get("mme5_chunk") or 2
             ms_page = 1e3 / info["pages_per_sec"]
             out = {
                 "metric": "pages/sec/chip end-to-end, FULL 11B parity "
                 "embedder (detect 30 views @1024 doclayout-yolov10m-glcrm "
                 "+ embed 48 regions @560 mme5-11B Mllama layout, int8 "
-                "weight-only) — fused detect+crop program + compiled "
-                "embed chunks of 2",
+                f"weight-only) — fused detect+crop program + compiled "
+                f"embed chunks of {chunk}",
                 "value": round(info["pages_per_sec"], 5),
                 "unit": "pages/sec/chip",
                 "ms_per_page": round(ms_page, 1),
@@ -601,7 +610,7 @@ def main() -> None:
                 "embed_flops_per_chunk_xla_estimate": flops,
                 "mfu_vs_197tflops_bf16": (
                     round(
-                        flops * (info["n_regions"] / 2) / (ms_page / 1e3)
+                        flops * (info["n_regions"] / chunk) / (ms_page / 1e3)
                         / 197e12,
                         4,
                     )
