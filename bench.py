@@ -555,6 +555,7 @@ def main() -> None:
         and args.mme5_chunk is None
         and args.batch == 1
         and not args.auto_layouts
+        and args.profile is None
     )
     if args.mme5_chunk is None:
         args.mme5_chunk = 8  # run_bench maps the 11B default internally
