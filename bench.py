@@ -75,7 +75,7 @@ def build_pipeline(
     quick: bool,
     batch: int = 1,
     family: str = "siglip",
-    mme5_chunk: int = 8,
+    mme5_chunk: int | None = None,
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
@@ -162,6 +162,37 @@ def build_pipeline(
         embedder = MultimodalEmbedder(
             EmbedderConfig(family="siglip", dtype="bfloat16"), model_config=enc_cfg
         )
+    if family == "siglip" and closure_weights == "split" and not quick:
+        # two-program headline: detect+crop with the detector tree as
+        # closure constants PLUS an embed program with the ViT-B tree as
+        # closure constants — the split route to single-program "both"
+        # mode's constant folding; each body stays under the tunnel's
+        # HTTP 413 request limit on its own
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_split_page_fn,
+        )
+
+        # store the ViT-B params in bf16 before inlining: the model computes
+        # in bf16 anyway (flax promote_dtype casts params at use, so this is
+        # numerically identical) and it halves the embed program's HLO body
+        # (~172MB vs ~344MB f32) under the tunnel's request-size limit
+        embedder.variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32
+            else x,
+            embedder.variables,
+        )
+        fused = build_split_page_fn(
+            detector,
+            embedder,
+            page_hw,
+            num_regions=n_regions,
+            embed_chunk=n_regions,
+            letterbox=letterbox,
+            closure_weights=True,
+            embed_closure=True,
+        )
+        return fused, page_hw, n_regions
     if family == "mme5" and not quick:
         # two-program split (pipeline/fused.py::build_split_page_fn): the
         # combined detect+mme5-embed program overflows the tunnel's remote
@@ -170,14 +201,17 @@ def build_pipeline(
             build_split_page_fn,
         )
 
-        if mme5_size == "11b" and mme5_chunk == 8:
-            # default mapping only (explicit --mme5-chunk overrides): chunk
-            # 2 was the measured OOM envelope for the OLD 4-tile 6432-token
-            # masked vision attention (int8_11b_smoke); short tile stacks
-            # cut single-tile crops to 1608 tokens (~660MB logits at chunk
-            # 8), so larger chunks — which amortize the ~10GB int8 weight
-            # stream per chunk execution — are now A/B-able
-            mme5_chunk = 2
+        if mme5_chunk is None:
+            # size-based default; None (not 8) is the sentinel so an
+            # EXPLICIT --mme5-chunk 8 actually runs chunk 8 (the first
+            # chunk-8 A/B at 11B silently re-ran chunk 2 through the old
+            # value-collision). Chunk 2 was the measured OOM envelope for
+            # the OLD 4-tile 6432-token masked vision attention
+            # (int8_11b_smoke); short tile stacks cut single-tile crops to
+            # 1608 tokens (~660MB logits at chunk 8), so larger chunks —
+            # which amortize the ~10GB int8 weight stream per chunk
+            # execution — are A/B-able
+            mme5_chunk = 2 if mme5_size == "11b" else 8
         fused = build_split_page_fn(
             detector,
             embedder,
@@ -213,7 +247,7 @@ def run_bench(
     batch: int = 1,
     family: str = "siglip",
     profile_dir: str | None = None,
-    mme5_chunk: int = 8,
+    mme5_chunk: int | None = None,
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
@@ -513,13 +547,16 @@ def main() -> None:
     )
     parser.add_argument(
         "--closure-weights",
-        choices=("none", "detector", "embedder", "both"),
+        choices=("none", "detector", "embedder", "both", "split"),
         default=DEFAULT_CLOSURE_WEIGHTS,
         help="which model trees to inline as program constants in the "
         "single-program (siglip) path. 'both' (~200MB of HLO constants) is "
         "MEASURED UNUSABLE on the current tunnel (remote compiler rejects "
         "the body with HTTP 413); 'detector' inlines only the ~33MB conv "
-        "tree where XLA's BN-into-conv constant folding pays",
+        "tree where XLA's BN-into-conv constant folding pays; 'split' runs "
+        "TWO programs (detect+crop with detector closure, embed with "
+        "embedder closure) so each HLO body stays under the 413 limit "
+        "while both trees get constant folding",
     )
     parser.add_argument(
         "--auto-layouts",
@@ -557,8 +594,6 @@ def main() -> None:
         and not args.auto_layouts
         and args.profile is None
     )
-    if args.mme5_chunk is None:
-        args.mme5_chunk = 8  # run_bench maps the 11B default internally
     _setup_jax()
 
     here = os.path.dirname(__file__) or "."

@@ -451,6 +451,7 @@ def build_split_page_fn(
     letterbox: bool = False,
     embed_tiles: int = 1,
     closure_weights: bool = True,
+    embed_closure: bool = False,
 ):
     """Two-program serving split: ONE fused detect+crop program plus
     ``num_regions/embed_chunk`` executions of one compiled embed program,
@@ -461,10 +462,23 @@ def build_split_page_fn(
     with the embed batch chunked under ``lax.map`` (CLAUDE.md), and at 11B
     the vision attention transient bounds the chunk to 2. Same PageResult
     contract as ``build_fused_page_fn``.
+
+    ``embed_closure=True`` (siglip family only) inlines the embedder tree
+    into the embed program as constants — the split-program route to the
+    constant folding that the single-program "both" mode gets, without one
+    ~200MB HLO body (the tunnel rejects that with HTTP 413; each split
+    program's body stays under the limit on its own). The mme5 trees
+    (4-11GB) must always ride as arguments (CLAUDE.md).
     """
     family = embedder.config.family
-    if family != "mme5":
-        raise ValueError("the split path exists for the mme5 family")
+    if family not in ("mme5", "siglip"):
+        raise ValueError(f"unsupported split-path family: {family}")
+    if embed_closure and family != "siglip":
+        raise ValueError(
+            "embed_closure inlines the embedder tree into the HLO — only "
+            "the small siglip tree fits (mme5 trees kill the remote "
+            "compiler; CLAUDE.md)"
+        )
     assert embed_tiles in (1, 4), embed_tiles
     assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
     emb_size = embedder.image_size
@@ -478,49 +492,79 @@ def build_split_page_fn(
         closure_weights=closure_weights,
     )
 
-    from multimodal_embeddings_tpu.models.mllama_processor import (
-        IMAGE_MEAN,
-        IMAGE_STD,
-        aspect_ratio_to_id,
-    )
-
-    prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
-        [embedder.config.prompt], embedder.text_len
-    )
-    prompt_ids = jnp.asarray(prompt_ids)
-    prompt_mask = jnp.asarray(prompt_mask)
-    ar_id_2x2 = (
-        aspect_ratio_to_id((2, 2), embedder.max_tiles)
-        if embed_tiles == 4
-        else None
-    )
     emb_model = embedder.model
     emb_vars_dev = _device_vars(embedder.variables)
 
-    @jax.jit
-    def embed_fn(variables, crops):
-        c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
-            IMAGE_STD, crops.dtype
-        )
-        n = c.shape[0]
-        ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
-        mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
-        if embed_tiles == 4:
-            c = tile_crops_2x2(c, emb_size)
+    if family == "siglip":
+        if embed_tiles != 1:
+            raise ValueError("embed_tiles=4 requires the tiled mme5 family")
+
+        @jax.jit
+        def embed_fn(variables, crops):
             return emb_model.apply(
-                variables, ids, mask, c,
-                jnp.full((n,), ar_id_2x2, jnp.int32),
-                jnp.ones((n, 4), jnp.int32),
+                variables, crops, method=emb_model.encode_image
             )
-        return emb_model.apply(variables, ids, mask, c)
+
+        if embed_closure:
+            embed_jit = jax.jit(
+                lambda crops: emb_model.apply(
+                    emb_vars_dev, crops, method=emb_model.encode_image
+                )
+            )
+
+            def embed_call(crops):
+                return embed_jit(crops)
+        else:
+
+            def embed_call(crops):
+                return embed_fn(emb_vars_dev, crops)
+    else:
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            IMAGE_MEAN,
+            IMAGE_STD,
+            aspect_ratio_to_id,
+        )
+
+        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+            [embedder.config.prompt], embedder.text_len
+        )
+        prompt_ids = jnp.asarray(prompt_ids)
+        prompt_mask = jnp.asarray(prompt_mask)
+        ar_id_2x2 = (
+            aspect_ratio_to_id((2, 2), embedder.max_tiles)
+            if embed_tiles == 4
+            else None
+        )
+
+        @jax.jit
+        def embed_fn(variables, crops):
+            c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+                IMAGE_STD, crops.dtype
+            )
+            n = c.shape[0]
+            ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+            mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+            if embed_tiles == 4:
+                c = tile_crops_2x2(c, emb_size)
+                return emb_model.apply(
+                    variables, ids, mask, c,
+                    jnp.full((n,), ar_id_2x2, jnp.int32),
+                    jnp.ones((n, 4), jnp.int32),
+                )
+            return emb_model.apply(variables, ids, mask, c)
+
+        def embed_call(crops):
+            return embed_fn(emb_vars_dev, crops)
 
     flops_info: dict = {}
 
     def fn(page) -> PageResult:
         boxes, scores, classes, valid, crops = detect_fn(page)
-        if not flops_info:
+        if not flops_info and family == "mme5":
             # XLA's FLOP estimate of the compiled embed program (for the
-            # MFU line of the parity-architecture benchmark)
+            # MFU line of the parity-architecture benchmark — mme5 only;
+            # lowering the args-mode embed_fn in the siglip embed_closure
+            # path would compile a second, unused program)
             try:
                 cost = embed_fn.lower(
                     emb_vars_dev, crops[:embed_chunk]
@@ -531,7 +575,7 @@ def build_split_page_fn(
             except Exception:  # pragma: no cover — analysis is best-effort
                 flops_info["embed_flops_per_chunk"] = None
         embs = [
-            embed_fn(emb_vars_dev, crops[i : i + embed_chunk])
+            embed_call(crops[i : i + embed_chunk])
             for i in range(0, num_regions, embed_chunk)
         ]
         return PageResult(boxes, scores, classes, valid, jnp.concatenate(embs))

@@ -96,6 +96,53 @@ class TestFused:
             np.asarray(got.embeddings), np.asarray(base.embeddings), atol=1e-5
         )
 
+    def test_split_siglip_embed_closure_matches_fused(self, fused_fn):
+        """Two-program headline split (detector-closure detect+crop plus an
+        embedder-closure embed program — each HLO body under the tunnel's
+        413 request limit on its own) must reproduce the single fused
+        program's outputs."""
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_split_page_fn,
+        )
+
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=((2, 2),),
+                max_detections=64,
+            ),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        fn = build_split_page_fn(
+            detector, embedder, (400, 300), num_regions=8, embed_chunk=8,
+            closure_weights=True, embed_closure=True,
+        )
+        rng = np.random.default_rng(0)
+        page = rng.integers(0, 255, (400, 300, 3)).astype(np.uint8)
+        base = fused_fn(jnp.asarray(page))
+        got = fn(jnp.asarray(page))
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(base.boxes), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.embeddings), np.asarray(base.embeddings), atol=1e-5
+        )
+        # mme5-only guard: the big trees must never ride as HLO constants
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+
+        memb = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        with pytest.raises(ValueError, match="embed_closure"):
+            build_split_page_fn(
+                detector, memb, (400, 300), num_regions=8, embed_chunk=8,
+                embed_closure=True,
+            )
+
     def test_auto_layouts_matches_arguments(self, fused_fn):
         """detector-closure + AUTO embedder-argument layouts (the AOT
         lower/compile + device_put-into-input-formats serving variant) must
