@@ -81,7 +81,18 @@ class Collection:
         self._embeddings: Optional[np.ndarray] = None  # (N, D) float32
         self._metadatas: List[Dict[str, Any]] = []
         self._device_cache = None
+        self._mesh = None  # opt-in corpus sharding (set_mesh)
+        self._mesh_axis = "data"
         self._load()
+
+    def set_mesh(self, mesh, axis_name: str = "data") -> None:
+        """Shard subsequent queries' corpus matmul over ``axis_name`` of
+        ``mesh`` (exact, tie-identical to single-device — see
+        ``sharded_masked_topk``). Pass ``None`` to return to one device."""
+        with self._lock:
+            self._mesh = mesh
+            self._mesh_axis = axis_name
+            self._device_cache = None
 
     # -- persistence --------------------------------------------------------
 
@@ -238,14 +249,29 @@ class Collection:
             return out
 
     def _device_embeddings(self):
-        """Unit-normalized corpus matrix cached on device."""
+        """Unit-normalized corpus matrix cached on device — replicated on
+        one device by default, row-sharded over the mesh data axis after
+        ``set_mesh`` (rows padded to the shard multiple)."""
+        import jax
         import jax.numpy as jnp
 
         with self._lock:
             if self._device_cache is None:
                 norms = np.linalg.norm(self._embeddings, axis=1, keepdims=True)
                 normed = self._embeddings / np.clip(norms, 1e-12, None)
-                self._device_cache = jnp.asarray(normed)
+                if self._mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    padded = _pad_rows(
+                        normed.astype(np.float32),
+                        self._mesh.shape[self._mesh_axis],
+                    )
+                    self._device_cache = jax.device_put(
+                        padded,
+                        NamedSharding(self._mesh, P(self._mesh_axis, None)),
+                    )
+                else:
+                    self._device_cache = jnp.asarray(normed)
             return self._device_cache
 
     def query(
@@ -282,7 +308,13 @@ class Collection:
             empty = [[] for _ in range(q.shape[0])]
             return {"ids": empty, "distances": empty, "metadatas": empty}
 
-        sims = _masked_topk(corpus, jnp.asarray(qn), jnp.asarray(mask), k)
+        if self._mesh is not None:
+            mask_p = _pad_rows(mask, self._mesh.shape[self._mesh_axis])
+            sims = _sharded_query(
+                corpus, qn, mask_p, k, n, self._mesh, self._mesh_axis
+            )
+        else:
+            sims = _masked_topk(corpus, jnp.asarray(qn), jnp.asarray(mask), k)
         top_sims, top_idx = (np.asarray(sims[0]), np.asarray(sims[1]))
 
         out: Dict[str, Any] = {
@@ -335,6 +367,103 @@ def _masked_topk(corpus, queries, mask, k: int):
     if bucket != k:
         sims, idx = sims[:, :k], idx[:, :k]
     return sims, idx
+
+
+@_functools.lru_cache(maxsize=32)
+def _sharded_topk_fn(k: int, mesh, axis_name: str):
+    """Corpus-sharded masked top-k: each device scores its contiguous row
+    shard (one local matmul + local top-k), the per-shard candidates ride
+    ICI once (`all_gather` of k rows per device, not the full score
+    matrix), and a final top-k merges them.
+
+    Exactness: `lax.top_k` breaks score ties by LOWER index. Shards are
+    contiguous row ranges in device order, so for equal scores a lower
+    gather position always corresponds to a lower global row index — the
+    merged result is identical (values AND indices) to a single-device
+    top-k over the whole corpus.
+
+    This is the scale-out form of the reference's ChromaDB/hnswlib query
+    (``db_operations.py:65-85``): the corpus there is ~10^3 rows on one
+    host; sharding the matmul over the mesh data axis serves corpora that
+    exceed one chip's HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def body(corpus_blk, queries, mask_blk):
+        rows = corpus_blk.shape[0]
+        sims = jnp.dot(
+            queries, corpus_blk.T, preferred_element_type=jnp.float32
+        )
+        sims = jnp.where(mask_blk[None, :], sims, -2.0)  # cosine floor −1
+        kk = min(k, rows)
+        s, i = jax.lax.top_k(sims, kk)
+        gidx = i + jax.lax.axis_index(axis_name) * rows
+        s_all = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)
+        g_all = jax.lax.all_gather(gidx, axis_name, axis=1, tiled=True)
+        fs, fpos = jax.lax.top_k(s_all, k)
+        return fs, jnp.take_along_axis(g_all, fpos, axis=1)
+
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_rep=False,  # outputs are device-identical after all_gather
+    )
+    return jax.jit(mapped)
+
+
+def _pad_rows(arr: np.ndarray, n_shards: int) -> np.ndarray:
+    """Zero-pad the leading axis to a multiple of ``n_shards``."""
+    pad = (-arr.shape[0]) % n_shards
+    if not pad:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, widths)
+
+
+def _sharded_query(corpus_dev, queries, mask, k: int, n: int, mesh, axis_name):
+    """Run the sharded top-k against an already-placed padded corpus.
+    ``mask`` is host-side with the corpus's PADDED length (pads False);
+    ``n`` is the true row count (bounds the k bucket)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bucket = 1
+    while bucket < k:
+        bucket *= 2
+    bucket = min(bucket, n)
+    mask_dev = jax.device_put(
+        np.asarray(mask, bool), NamedSharding(mesh, P(axis_name))
+    )
+    q_dev = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    sims, idx = _sharded_topk_fn(bucket, mesh, axis_name)(
+        corpus_dev, q_dev, mask_dev
+    )
+    if bucket != k:
+        sims, idx = sims[:, :k], idx[:, :k]
+    return sims, idx
+
+
+def sharded_masked_topk(corpus, queries, mask, k: int, mesh, axis_name: str):
+    """Masked cosine top-k with the corpus rows sharded over ``axis_name``
+    of ``mesh``. Pads the row count to the shard multiple (padded rows are
+    masked out) and returns exactly the single-device result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = mesh.shape[axis_name]
+    n = corpus.shape[0]
+    corpus_p = _pad_rows(np.asarray(corpus), n_shards)
+    mask_p = _pad_rows(np.asarray(mask, bool), n_shards)
+    corpus_dev = jax.device_put(
+        corpus_p, NamedSharding(mesh, P(axis_name, None))
+    )
+    return _sharded_query(corpus_dev, queries, mask_p, k, n, mesh, axis_name)
 
 
 class Client:

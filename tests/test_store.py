@@ -180,3 +180,82 @@ class TestUpsertDuplicates:
         assert col.count() == 2  # truncated, not crashed
         res = col.query([[1, 0, 0, 0]], n_results=2)
         assert len(res["ids"][0]) == 2
+
+
+class TestShardedQuery:
+    """Corpus-sharded top-k over the mesh data axis (`set_mesh`): exact
+    value- AND index-identical to the single-device query — the scale-out
+    form of the reference's ChromaDB query (db_operations.py:65-85)."""
+
+    def _mesh(self, devices8, n=8):
+        from multimodal_embeddings_tpu.config import MeshConfig
+        from multimodal_embeddings_tpu.core.mesh import make_mesh
+
+        return make_mesh(MeshConfig(shape=(n, 1)), devices=devices8[:n])
+
+    def _populate(self, col, n, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        embs = rng.normal(size=(n, d)).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        ids = [f"item{i}" for i in range(n)]
+        metas = [
+            {"is_region": i % 2 == 0, "parent_image_name": f"img{i % 5}"}
+            for i in range(n)
+        ]
+        col.upsert(ids=ids, embeddings=embs, metadatas=metas)
+        return ids, embs, metas
+
+    @pytest.mark.parametrize("n", [48, 53])  # even and non-divisible (pad)
+    def test_sharded_matches_single_device(self, tmp_path, devices8, n):
+        _, col = initialize_db(str(tmp_path / "db"))
+        ids, embs, _ = self._populate(col, n)
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(3, embs.shape[1])).astype(np.float32)
+        base = col.query(q, n_results=7)
+        col.set_mesh(self._mesh(devices8))
+        got = col.query(q, n_results=7)
+        assert got["ids"] == base["ids"]
+        np.testing.assert_allclose(
+            got["distances"], base["distances"], atol=1e-6
+        )
+        # where-filter parity through the sharded path
+        base_f = None
+        col.set_mesh(None)
+        base_f = col.query(q, n_results=5, where={"is_region": {"$eq": True}})
+        col.set_mesh(self._mesh(devices8))
+        got_f = col.query(q, n_results=5, where={"is_region": {"$eq": True}})
+        assert got_f["ids"] == base_f["ids"]
+
+    def test_sharded_tie_break_is_index_order(self, tmp_path, devices8):
+        """Equal scores must resolve by LOWER row index across shards,
+        matching lax.top_k on the unsharded corpus."""
+        _, col = initialize_db(str(tmp_path / "db"))
+        v = unit([1.0, 0.0, 0.0, 0.0])
+        # 16 identical rows -> every score ties; expect items 0..4 in order
+        col.upsert(
+            ids=[f"t{i}" for i in range(16)],
+            embeddings=[v] * 16,
+            metadatas=[{} for _ in range(16)],
+        )
+        col.set_mesh(self._mesh(devices8))
+        got = col.query([v], n_results=5)
+        assert got["ids"][0] == [f"t{i}" for i in range(5)]
+
+    def test_sharded_topk_function_exact(self, devices8):
+        from multimodal_embeddings_tpu.store.embedding_store import (
+            sharded_masked_topk,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        corpus = rng.normal(size=(37, 8)).astype(np.float32)
+        queries = rng.normal(size=(4, 8)).astype(np.float32)
+        mask = rng.random(37) > 0.3
+        mesh = self._mesh(devices8)
+        s, i = sharded_masked_topk(corpus, queries, mask, 6, mesh, "data")
+        sims = queries @ corpus.T
+        sims[:, ~mask] = -2.0
+        ws, wi = jax.lax.top_k(jnp.asarray(sims), 6)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ws), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
