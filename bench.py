@@ -34,8 +34,11 @@ DEFAULT_PALLAS_CONVS = 0
 # measured A/B 2026-08-17: args 4.208, detector-closure 5.069 (+20%: the
 # 33MB constant tree lets XLA lay out the conv stack without the 39
 # ms/page of activation relayout copies args mode pays), both-closure
-# rejected by the tunnel (HTTP 413). Override with --closure-weights.
-DEFAULT_CLOSURE_WEIGHTS = "detector"
+# rejected by the tunnel (HTTP 413), SPLIT two-program mode 5.596 (+10%
+# over detector-closure: each program's HLO body stays under the 413
+# limit while BOTH trees get constant folding). Override with
+# --closure-weights.
+DEFAULT_CLOSURE_WEIGHTS = "split"
 
 
 def _setup_jax() -> None:
@@ -97,6 +100,10 @@ def build_pipeline(
     from multimodal_embeddings_tpu.pipeline.fused import build_fused_page_fn
 
     if quick:
+        if closure_weights == "split":
+            # CI smoke: the tiny models don't need the two-program split;
+            # detector-closure is the representative single-program mode
+            closure_weights = "detector"
         det_cfg = DetectorConfig(
             image_size=256,
             variant="n",
@@ -704,10 +711,16 @@ def main() -> None:
         )
         return
 
+    program_desc = (
+        "two-program split (detect+crop / embed), both weight trees as "
+        "folded closure constants"
+        if args.closure_weights == "split"
+        else "fused single XLA program"
+    )
     line = {
         "metric": "pages/sec/chip end-to-end (detect 30 views @1024 "
-        "doclayout-yolov10m-glcrm + embed 48 regions @448 vit-b), fused "
-        "single XLA program",
+        "doclayout-yolov10m-glcrm + embed 48 regions @448 vit-b), "
+        + program_desc,
         "value": round(info["pages_per_sec"], 4),
         "unit": "pages/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

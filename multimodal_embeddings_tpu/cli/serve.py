@@ -122,6 +122,36 @@ class FusedServer:
                     embed_chunk=chunk,
                     letterbox=not self.args.squeeze_views,
                 )
+            elif self.args.embedder_size != "tiny":
+                # measured-best headline serving shape (bench.py A/B
+                # 2026-08-17: split 5.596 vs detector-closure single
+                # program 5.069 p/s): TWO programs with BOTH trees as
+                # folded closure constants — each HLO body stays under
+                # the remote compiler's request limit. Stored f32 params
+                # cast to bf16 first: numerically identical (compute is
+                # bf16; flax promote_dtype casts at use) and halves the
+                # embed program's constant body.
+                import jax
+                import numpy as np
+
+                import jax.numpy as jnp
+
+                self.embedder.variables = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == np.float32
+                    else x,
+                    self.embedder.variables,
+                )
+                self._page_fns[bucket] = build_split_page_fn(
+                    self.detector,
+                    self.embedder,
+                    bucket,
+                    num_regions=self.args.num_regions,
+                    embed_chunk=self.args.num_regions,
+                    letterbox=not self.args.squeeze_views,
+                    closure_weights=True,
+                    embed_closure=True,
+                )
             else:
                 self._page_fns[bucket] = build_fused_page_fn(
                     self.detector,
@@ -129,9 +159,8 @@ class FusedServer:
                     bucket,
                     num_regions=self.args.num_regions,
                     letterbox=not self.args.squeeze_views,
-                    # measured +20%: detector tree as program constants,
-                    # embedder as an argument (ROADMAP "args-mode
-                    # regression"; 'both' exceeds the tunnel's HTTP limit)
+                    # measured +20% over args mode: detector tree as
+                    # program constants (ROADMAP "args-mode regression")
                     closure_weights="detector",
                 )
         return self._page_fns[bucket]

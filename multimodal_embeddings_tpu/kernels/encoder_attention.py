@@ -1,0 +1,144 @@
+"""Single-pass whole-row encoder attention as a Pallas TPU kernel.
+
+The pipeline's embedders run SHORT unmasked self-attention (ViT-B @448 →
+L=784 patches, 48 crops/page; Mllama vision → L=1608), where the XLA path
+materializes the (B, H, L, L) logits in HBM and re-reads them for the
+softmax row-stats and the PV matmul — trace-measured ~38 ms/page of the
+headline program (``utils/trace_analysis`` on the r3 detector-closure
+profile). The flash kernels (``flash_attention.py``) lose at this scale
+(13.3 vs 6.4 ms standalone): with L≈784 the online-softmax q/k block loop
+degenerates into ~28k tiny (128, 64) MXU ops plus rescaling VPU traffic.
+
+Here the ENTIRE (L, L) score matrix for one head lives in VMEM (784² f32
+≈ 2.5 MB « 16 MB/core), so softmax is one plain max/exp/sum pass — no
+online rescaling, no score HBM round-trips. One program per BATCH row
+(grid B) loops over the heads, giving each program ~1.9 GFLOP — big
+enough to amortize program launch, unlike one-program-per-(b,h).
+
+Per head: NT dot (L,D)x(L,D) → f32 scores, row softmax in VMEM, NN dot
+(L,L)x(L,D) with f32 accumulation, normalize, cast to the input dtype.
+Replaces the CUDA flash-attn dependency of the reference's embedding hot
+path (``embedder.py:124-129``) at encoder shapes; longer/causal shapes
+stay on ``flash_attention``/XLA per the measured dispatch thresholds.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _enc_attn_kernel(
+    q_ref,  # (H, L, D)
+    k_ref,  # (H, L, D)
+    v_ref,  # (H, L, D)
+    o_ref,  # (H, L, D)
+    *,
+    sm_scale: float,
+    heads: int,
+    valid_len: Optional[int],
+):
+    l = q_ref.shape[1]
+    # bf16 inputs → bf16 MXU dots with f32 accumulation (an f32 upcast
+    # before the dot would force the 4×-slower f32 MXU path)
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    def head_body(h, _):
+        q = q_ref[h].astype(mxu_dtype)  # (L, D)
+        k = k_ref[h].astype(mxu_dtype)
+        v = v_ref[h].astype(mxu_dtype)
+        # NT contraction: scores[i, j] = q_i · k_j, f32 accumulate
+        scores = (
+            jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )  # (L, L) f32, VMEM-resident
+        if valid_len is not None and valid_len < l:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+            scores = jnp.where(cols < valid_len, scores, NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)  # f32 (L, 1)
+        o = jnp.dot(
+            e.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[h] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, heads, head_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "valid_len", "heads_per_block", "interpret")
+)
+def encoder_attention(
+    q: jnp.ndarray,  # (B, L, H, D)
+    k: jnp.ndarray,  # (B, L, H, D)
+    v: jnp.ndarray,  # (B, L, H, D)
+    sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
+    heads_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-row single-pass attention for short unmasked encoder shapes.
+
+    ``valid_len`` (static) masks trailing padded keys — the Mllama vision
+    tower's 1601-of-1608 prefix. L must be a multiple of the dtype sublane
+    tile (16 for bf16); callers pad or take the XLA path otherwise.
+    Returns (B, L, H, D) in q's dtype.
+    """
+    b, l, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if heads_per_block is None:
+        # budget VMEM: in+out blocks (4 tensors × hpb·L·D·2B, double-
+        # buffered) + ~2 (L, L) f32/bf16 intermediates; cap blocks at ~6MB
+        per_head = 4 * 2 * l * d * 2
+        hpb = max(1, min(h, int(6e6 // max(per_head, 1))))
+        while h % hpb:
+            hpb -= 1
+        heads_per_block = hpb
+
+    assert h % heads_per_block == 0, (h, heads_per_block)
+
+    # (B, L, H, D) → (B*H, L, D): D stays minor (full-lane rows), heads
+    # become leading blocks so the kernel indexes them as major rows
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+
+    grid = (b * h // heads_per_block,)
+    out = pl.pallas_call(
+        functools.partial(
+            _enc_attn_kernel,
+            sm_scale=sm_scale,
+            heads=heads_per_block,
+            valid_len=valid_len,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (heads_per_block, l, d),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 3,
+        out_specs=pl.BlockSpec(
+            (heads_per_block, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+        interpret=interpret,
+    )(to_bh(q), to_bh(k), to_bh(v))
+    return out.reshape(b, h, l, d).transpose(0, 2, 1, 3)

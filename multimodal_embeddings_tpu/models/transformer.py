@@ -71,6 +71,38 @@ def _f32_logits_forced() -> bool:
     return os.environ.get("MMTPU_F32_LOGITS") == "1"
 
 
+def _enc_attn_kernel_enabled() -> bool:
+    """Opt-in gate for the whole-row single-pass encoder attention kernel
+    (kernels/encoder_attention.py) at short unmasked self-attention shapes
+    — the A/B candidate for the ~38 ms/page the XLA path spends
+    materializing and re-reading (B, H, L, L) logits (r3 trace)."""
+    import os
+
+    return os.environ.get("MMTPU_ENC_ATTN") == "1"
+
+
+# whole-row kernel domain: the (L, L) f32 score matrix must fit VMEM next
+# to the (heads_per_block, L, D) operand blocks; 2048² f32 = 16MB already
+# exceeds it, and below ~256 tokens the XLA path's logits are cheap
+_ENC_ATTN_MIN_LEN = 256
+_ENC_ATTN_MAX_LEN = 1664
+
+
+def _enc_attn_eligible(q, k, mask, causal) -> bool:
+    if not _enc_attn_kernel_enabled():
+        return False
+    if causal or mask is not None:
+        return False
+    if q.shape[1] != k.shape[1] or q.shape[2] != k.shape[2]:
+        return False  # self-attention, no GQA broadcast
+    l = q.shape[1]
+    if not (_ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN) or l % 16:
+        return False
+    if q.shape[3] > 128:
+        return False
+    return _on_tpu_backend()
+
+
 def _ln_fuse_mode() -> Optional[str]:
     """Where the fused LayerNorm→matmul prologue can run: ``"tpu"`` when
     the Pallas kernel can lower, ``"interpret"`` under the CPU test
@@ -204,6 +236,12 @@ def sdpa(
         )
 
         return flash_attention(q, k, v, causal=causal)
+    if _enc_attn_eligible(q, k, mask, causal):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention,
+        )
+
+        return encoder_attention(q, k, v)
 
     b, lq, h, d = q.shape
     kvh = k.shape[2]

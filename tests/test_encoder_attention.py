@@ -1,0 +1,89 @@
+"""Whole-row single-pass encoder attention kernel: exactness vs the XLA
+reference path (kernels/encoder_attention.py; CPU interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_embeddings_tpu.kernels.encoder_attention import (
+    encoder_attention,
+)
+
+
+def ref_attention(q, k, v, valid_len=None):
+    """Plain f32 softmax attention, (B, L, H, D) layout."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "blhd,bmhd->bhlm",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+    ) / np.sqrt(d)
+    if valid_len is not None:
+        mask = jnp.arange(q.shape[1]) < valid_len
+        logits = jnp.where(mask[None, None, None, :], logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", w, v.astype(jnp.float32))
+
+
+class TestEncoderAttention:
+    def _qkv(self, b=2, l=64, h=4, d=32, dtype=jnp.float32, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(b, l, h, d)).astype(np.float32), dtype
+        )
+        return mk(), mk(), mk()
+
+    def test_matches_reference_f32(self):
+        q, k, v = self._qkv()
+        got = encoder_attention(q, k, v, interpret=True)
+        want = ref_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+    def test_matches_reference_bf16(self):
+        q, k, v = self._qkv(dtype=jnp.bfloat16)
+        got = encoder_attention(q, k, v, interpret=True)
+        want = ref_attention(q, k, v)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=4e-2
+        )
+
+    def test_valid_len_masks_trailing_keys(self):
+        """Static prefix masking (the Mllama 1601-of-1608 pattern)."""
+        q, k, v = self._qkv(l=48)
+        got = encoder_attention(q, k, v, valid_len=33, interpret=True)
+        want = ref_attention(q, k, v, valid_len=33)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+        # masked keys must not influence the output at all
+        k2 = k.at[:, 33:].set(999.0)
+        v2 = v.at[:, 33:].set(-999.0)
+        got2 = encoder_attention(q, k2, v2, valid_len=33, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(got), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("hpb", [1, 2, 4])
+    def test_heads_per_block_invariant(self, hpb):
+        q, k, v = self._qkv()
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention(
+            q, k, v, heads_per_block=hpb, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=1e-6
+        )
+
+    def test_vit_b_shape_smoke(self):
+        """The headline serving shape (scaled down in batch)."""
+        q, k, v = self._qkv(b=1, l=784, h=12, d=64, dtype=jnp.bfloat16)
+        got = encoder_attention(q, k, v, interpret=True)
+        want = ref_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=4e-2
+        )
