@@ -165,14 +165,14 @@ class FusedServer:
                 )
         return self._page_fns[bucket]
 
-    def process_page(self, path: str) -> int:
-        import jax.numpy as jnp
-
+    def _prepare(self, path: str):
+        """Host stage 1: decode + downscale + bucket + pad (thread-safe;
+        runs ahead of device execution on the prefetch thread)."""
         image = load_image_rgb(path)
         h, w = image.shape[:2]
         # pages larger than the biggest bucket are downscaled to fit (the
         # embedder path's 8000px LANCZOS cap analogue); detections are
-        # scaled back to original page coordinates below
+        # scaled back to original page coordinates in _finalize
         max_h, max_w = DEFAULT_BUCKETS[-1]
         scale = 1.0
         if h > max_h or w > max_w:
@@ -187,8 +187,19 @@ class FusedServer:
         bucket = bucket_for(h, w, DEFAULT_BUCKETS)
         padded = np.zeros((*bucket, 3), np.uint8)
         padded[:h, :w] = image
-        result = self._fn_for_bucket(bucket)(jnp.asarray(padded))
+        return padded, bucket, scale, h, w
 
+    def _submit(self, prepared):
+        """Device stage: dispatch the fused program (async — returns
+        device arrays before the program finishes)."""
+        import jax.numpy as jnp
+
+        padded, bucket, _, _, _ = prepared
+        return self._fn_for_bucket(bucket)(jnp.asarray(padded))
+
+    def _finalize(self, path: str, prepared, result) -> int:
+        """Host stage 2: fetch results, map coordinates, upsert."""
+        _, _, scale, h, w = prepared
         boxes = np.asarray(result.boxes, np.float64)
         scores = np.asarray(result.scores, np.float64)
         classes = np.asarray(result.classes)
@@ -224,7 +235,23 @@ class FusedServer:
         self.progress.mark_completed(path)
         return len(ids)
 
+    def process_page(self, path: str) -> int:
+        """Sequential single-page path (decode → execute → finalize)."""
+        prepared = self._prepare(path)
+        return self._finalize(path, prepared, self._submit(prepared))
+
     def run_once(self) -> int:
+        """Ingest pending pages through a 3-stage software pipeline:
+        the prefetch thread decodes page N+1 while the device runs page N
+        (async dispatch) and the main thread finalizes page N-1. Results
+        are identical to the sequential per-page loop (test-locked);
+        per-page failures skip that page, as in the reference's
+        skip-errors drivers."""
+        from multimodal_embeddings_tpu.io.prefetch import (
+            PrefetchError,
+            Prefetcher,
+        )
+
         paths = [
             p
             for p in get_image_paths(self.args.input_folder)
@@ -232,13 +259,42 @@ class FusedServer:
         ]
         total = 0
         start = time.perf_counter()
-        for path in paths:
+        prefetcher = Prefetcher(paths, self._prepare, depth=2)
+        inflight = None  # (path, prepared, dispatched result)
+
+        def finalize(entry) -> int:
+            fpath, fprep, fresult = entry
             try:
-                n = self.process_page(path)
-                total += n
-                logger.info("served %s: %d regions", os.path.basename(path), n)
+                n = self._finalize(fpath, fprep, fresult)
+                logger.info("served %s: %d regions", os.path.basename(fpath), n)
+                return n
             except Exception as exc:  # noqa: BLE001 — keep serving
-                logger.error("failed on %s: %s", path, exc)
+                logger.error("failed on %s: %s", fpath, exc)
+                return 0
+
+        try:
+            it = iter(prefetcher)
+            while True:
+                try:
+                    path, prepared = next(it)
+                except StopIteration:
+                    break
+                except PrefetchError as exc:
+                    logger.error("failed on %s: %s", exc.item, exc.cause)
+                    continue
+                try:
+                    result = self._submit(prepared)
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    logger.error("failed on %s: %s", path, exc)
+                    result = None
+                # finalize the previous page while the device runs this one
+                if inflight is not None:
+                    total += finalize(inflight)
+                inflight = (path, prepared, result) if result is not None else None
+            if inflight is not None:
+                total += finalize(inflight)
+        finally:
+            prefetcher.close()
         if paths:
             elapsed = time.perf_counter() - start
             logger.info(
