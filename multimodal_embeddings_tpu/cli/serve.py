@@ -259,6 +259,26 @@ class FusedServer:
         ]
         total = 0
         start = time.perf_counter()
+        if getattr(self.args, "no_prefetch", False):
+            # sequential A/B reference for measuring the pipeline win
+            for path in paths:
+                try:
+                    n = self.process_page(path)
+                    total += n
+                    logger.info(
+                        "served %s: %d regions", os.path.basename(path), n
+                    )
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    logger.error("failed on %s: %s", path, exc)
+            if paths:
+                elapsed = time.perf_counter() - start
+                logger.info(
+                    "ingested %d pages in %.2fs (%.2f pages/s, sequential)",
+                    len(paths),
+                    elapsed,
+                    len(paths) / elapsed,
+                )
+            return len(paths)
         prefetcher = Prefetcher(paths, self._prepare, depth=2)
         inflight = None  # (path, prepared, dispatched result)
 
@@ -330,6 +350,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="aspect-squeeze view resize instead of the default letterbox "
         "(2.3%% faster, but detection agreement with the exact stage chain "
         "drops from 0.69 to 0.39 precision — SERVE_PARITY.json)",
+    )
+    parser.add_argument(
+        "--no_prefetch",
+        action="store_true",
+        help="disable the 3-stage ingest pipeline (sequential decode → "
+        "execute → upsert); the A/B reference for the pipeline win",
     )
     parser.add_argument("--watch", action="store_true", help="poll for new pages")
     parser.add_argument("--poll_interval", type=float, default=5.0)
