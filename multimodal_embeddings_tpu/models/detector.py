@@ -239,15 +239,18 @@ class LayoutDetector:
         return regions
 
     def detect_page_multigrid(
-        self, image_path: str
+        self, image_path: str, image: Optional[np.ndarray] = None
     ) -> Tuple[Dict, List[Tuple[Tuple[int, int], List[GridCell], List[Dict]]]]:
         """Detect the full page plus every grid view in ONE device batch.
 
         Returns ``(full_page_regions, per_grid)`` where ``per_grid`` is a list
         of ``((rows, cols), cells, cell_regions)`` with cell regions in the
         reference's cell-JSON layout (local boxes + ``boxes_original``).
+        ``image`` (uint8 RGB) skips the decode — the stage-1 prefetch
+        pipeline decodes ahead on a worker thread.
         """
-        image = load_image_rgb(image_path)
+        if image is None:
+            image = load_image_rgb(image_path)
         height, width = image.shape[:2]
         grids: List[Tuple[int, int]] = list(self.config.grid_configs)
 

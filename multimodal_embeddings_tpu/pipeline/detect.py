@@ -37,6 +37,8 @@ def process_page(
     output_folder: str,
     save_cell_images: bool = True,
     save_visualizations: bool = True,
+    image: Optional[np.ndarray] = None,
+    bgr: Optional[np.ndarray] = None,
 ) -> bool:
     base, ext = os.path.splitext(os.path.basename(image_path))
     json_folder = os.path.join(output_folder, "json")
@@ -44,7 +46,7 @@ def process_page(
     os.makedirs(json_folder, exist_ok=True)
     os.makedirs(viz_folder, exist_ok=True)
 
-    full_regions, per_grid = detector.detect_page_multigrid(image_path)
+    full_regions, per_grid = detector.detect_page_multigrid(image_path, image=image)
 
     save_json(full_regions, os.path.join(json_folder, f"{base}.json"))
     if save_visualizations:
@@ -52,7 +54,10 @@ def process_page(
             image_path, full_regions, os.path.join(viz_folder, f"{base}_viz.jpg")
         )
 
-    bgr = load_image_bgr(image_path) if save_cell_images else None
+    if save_cell_images:
+        bgr = bgr if bgr is not None else load_image_bgr(image_path)
+    else:
+        bgr = None
 
     for (rows, cols), cells, cell_regions in per_grid:
         grid_folder = os.path.join(output_folder, f"grid_{rows}x{cols}")
@@ -134,6 +139,7 @@ def run_detect_stage(
     save_cell_images: bool = True,
     save_visualizations: bool = True,
     skip_errors: bool = True,
+    prefetch: bool = True,
 ) -> StageStats:
     stats = StageStats()
     paths = get_image_paths(input_folder)
@@ -142,7 +148,18 @@ def run_detect_stage(
         return stats
     if detector is None:
         detector = LayoutDetector(config)
-    for path in paths:
+
+    def decode(path: str):
+        """Host decode for page N+1 runs on the prefetch thread while the
+        device detects page N (same functions as the in-line path, so
+        artifacts are byte-identical — test-locked)."""
+        from multimodal_embeddings_tpu.io.images import load_image_rgb
+
+        rgb = load_image_rgb(path)
+        page_bgr = load_image_bgr(path) if save_cell_images else None
+        return rgb, page_bgr
+
+    def handle(path: str, rgb=None, page_bgr=None) -> None:
         try:
             process_page(
                 detector,
@@ -150,6 +167,8 @@ def run_detect_stage(
                 output_folder,
                 save_cell_images=save_cell_images,
                 save_visualizations=save_visualizations,
+                image=rgb,
+                bgr=page_bgr,
             )
             stats.processed += 1
             logger.info("detected %s", os.path.basename(path))
@@ -158,4 +177,33 @@ def run_detect_stage(
             logger.error("stage1 failed on %s: %s", os.path.basename(path), exc)
             if not skip_errors:
                 raise
+
+    if not prefetch:
+        for path in paths:
+            handle(path)
+        return stats
+
+    from multimodal_embeddings_tpu.io.prefetch import PrefetchError, Prefetcher
+
+    prefetcher = Prefetcher(paths, decode, depth=2)
+    try:
+        it = iter(prefetcher)
+        while True:
+            try:
+                path, (rgb, page_bgr) = next(it)
+            except StopIteration:
+                break
+            except PrefetchError as exc:
+                stats.errors += 1
+                logger.error(
+                    "stage1 failed on %s: %s",
+                    os.path.basename(str(exc.item)),
+                    exc.cause,
+                )
+                if not skip_errors:
+                    raise
+                continue
+            handle(path, rgb, page_bgr)
+    finally:
+        prefetcher.close()
     return stats

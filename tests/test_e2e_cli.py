@@ -198,6 +198,36 @@ class TestNumberedPipelineE2E:
         assert all(v == "skipped" for v in results.values()), results
         assert _json_tree() == before
 
+    def test_detect_stage_prefetch_matches_sequential(
+        self, tiny_detector, tmp_path, monkeypatch
+    ):
+        """Stage-1 decode prefetching must leave every artifact
+        byte-identical to the in-line decode path (modulo the output
+        folder name embedded in cell paths)."""
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        for i in range(2):
+            make_page(f"pages/page_{i}.png", seed=i)
+        from multimodal_embeddings_tpu.pipeline.detect import run_detect_stage
+
+        a = run_detect_stage("pages", "out_pref", detector=tiny_detector)
+        b = run_detect_stage(
+            "pages", "out_seq", detector=tiny_detector, prefetch=False
+        )
+        assert a.processed == b.processed == 2 and a.errors == b.errors == 0
+
+        def tree(root):
+            out = {}
+            for path in glob.glob(f"{root}/**/*.json", recursive=True):
+                with open(path) as f:
+                    out[os.path.relpath(path, root)] = f.read().replace(root, "OUT")
+            return out
+
+        ta, tb = tree("out_pref"), tree("out_seq")
+        assert ta.keys() == tb.keys() and ta
+        for name in ta:
+            assert ta[name] == tb[name], name
+
     def test_config_change_reruns_only_affected_suffix(self, tiny_detector):
         results = PipelineRunner().run(
             _build_stages(tiny_detector, min_confidence=0.4)
