@@ -40,13 +40,39 @@ def process_page(
     image: Optional[np.ndarray] = None,
     bgr: Optional[np.ndarray] = None,
 ) -> bool:
+    """Detect one page (device) then write its artifact tree (host)."""
+    full_regions, per_grid = detector.detect_page_multigrid(image_path, image=image)
+    write_page_artifacts(
+        image_path,
+        output_folder,
+        full_regions,
+        per_grid,
+        overlap_percentage=detector.config.overlap_percentage,
+        save_cell_images=save_cell_images,
+        save_visualizations=save_visualizations,
+        bgr=bgr,
+    )
+    return True
+
+
+def write_page_artifacts(
+    image_path: str,
+    output_folder: str,
+    full_regions: dict,
+    per_grid,
+    overlap_percentage: float,
+    save_cell_images: bool = True,
+    save_visualizations: bool = True,
+    bgr: Optional[np.ndarray] = None,
+) -> bool:
+    """Pure-host artifact writer for one detected page (JSONs, cell
+    images, visualizations) — split from the device detect so the
+    pipelined stage driver can overlap it with the next page's forward."""
     base, ext = os.path.splitext(os.path.basename(image_path))
     json_folder = os.path.join(output_folder, "json")
     viz_folder = os.path.join(output_folder, "visualizations")
     os.makedirs(json_folder, exist_ok=True)
     os.makedirs(viz_folder, exist_ok=True)
-
-    full_regions, per_grid = detector.detect_page_multigrid(image_path, image=image)
 
     save_json(full_regions, os.path.join(json_folder, f"{base}.json"))
     if save_visualizations:
@@ -73,7 +99,7 @@ def process_page(
             "grid_config": {
                 "rows": rows,
                 "cols": cols,
-                "overlap_percentage": detector.config.overlap_percentage,
+                "overlap_percentage": overlap_percentage,
             },
             "cells": [],
         }
@@ -183,9 +209,33 @@ def run_detect_stage(
             handle(path)
         return stats
 
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from multimodal_embeddings_tpu.io.prefetch import PrefetchError, Prefetcher
 
+    # 3-stage pipeline: the prefetch thread decodes page N+1, the main
+    # thread runs page N's device forward, and the single writer thread
+    # (ordered) emits page N-1's JSON/viz artifact tree. Depth bounded at
+    # 2 pending writes so at most ~3 decoded pages are resident.
     prefetcher = Prefetcher(paths, decode, depth=2)
+    writer = ThreadPoolExecutor(max_workers=1)
+    pending = deque()  # (path, future)
+
+    def drain_one() -> None:
+        dpath, fut = pending.popleft()
+        try:
+            fut.result()
+            stats.processed += 1
+            logger.info("detected %s", os.path.basename(dpath))
+        except Exception as exc:  # noqa: BLE001 — continue-on-error contract
+            stats.errors += 1
+            logger.error(
+                "stage1 failed on %s: %s", os.path.basename(dpath), exc
+            )
+            if not skip_errors:
+                raise
+
     try:
         it = iter(prefetcher)
         while True:
@@ -203,7 +253,39 @@ def run_detect_stage(
                 if not skip_errors:
                     raise
                 continue
-            handle(path, rgb, page_bgr)
+            try:
+                full_regions, per_grid = detector.detect_page_multigrid(
+                    path, image=rgb
+                )
+            except Exception as exc:  # noqa: BLE001 — continue-on-error
+                stats.errors += 1
+                logger.error(
+                    "stage1 failed on %s: %s", os.path.basename(path), exc
+                )
+                if not skip_errors:
+                    raise
+                continue
+            pending.append(
+                (
+                    path,
+                    writer.submit(
+                        write_page_artifacts,
+                        path,
+                        output_folder,
+                        full_regions,
+                        per_grid,
+                        overlap_percentage=detector.config.overlap_percentage,
+                        save_cell_images=save_cell_images,
+                        save_visualizations=save_visualizations,
+                        bgr=page_bgr,
+                    ),
+                )
+            )
+            while len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
     finally:
         prefetcher.close()
+        writer.shutdown(wait=True)
     return stats
