@@ -102,7 +102,10 @@ class Prefetcher(Generic[T, R]):
         return item, result
 
     def close(self) -> None:
-        """Stop the worker and drain; safe to call mid-iteration."""
+        """Stop the worker and drain; safe to call mid-iteration.
+        Iteration after close() terminates (the drain may consume the
+        sentinel, so __next__ must not block on an empty queue)."""
+        self._done = True
         self._stop.set()
         while True:
             try:

@@ -69,6 +69,14 @@ class TestPrefetcher:
     def test_empty(self):
         assert list(Prefetcher([], lambda x: x)) == []
 
+    def test_iterate_after_close_terminates(self):
+        p = Prefetcher(list(range(50)), lambda x: x, depth=2)
+        it = iter(p)
+        next(it)
+        p.close()
+        # must terminate, not block on the drained queue
+        assert list(it) == []
+
 
 def _make_pages(folder, n=3, size=(120, 150)):
     os.makedirs(folder, exist_ok=True)
