@@ -1,0 +1,173 @@
+"""Document-parsing CLI: page image → "QwenVL HTML" with data-bbox
+attributes, plus the notebook's two post-processing artifacts.
+
+The user surface of the reference's Qwen2.5-VL notebook
+(``/root/reference/QWEN2_5_document_parsing.ipynb``): ``inference()``
+(cell d43bacc8) builds a chat-template prompt and generates HTML whose
+elements carry ``data-bbox``; ``draw_bbox`` (cell 9596c50d) rescales the
+boxes back onto the original page; ``clean_and_format_html`` strips the
+bbox/color attributes into ordinary HTML. Per page this CLI writes
+``<stem>.qwen.html`` (raw), ``<stem>.clean.html``, and (with
+``--draw-bbox``) ``<stem>_bbox.jpg``.
+
+Without ``--weights`` the model runs deterministic random weights (repo
+convention) — the plumbing (prompt splice, grid recovery, decode loop,
+bbox parsing) is exercised end-to-end while real output quality is gated
+on a checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from multimodal_embeddings_tpu.io.images import get_image_paths
+from multimodal_embeddings_tpu.io.logging_setup import get_logger
+
+logger = get_logger("cli.parse")
+
+SIZES = ("tiny", "3b", "7b", "32b", "32b-int8")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Parse pages into QwenVL HTML with data-bbox attributes"
+    )
+    parser.add_argument("--input_folder", default="newspaper_images")
+    parser.add_argument("--output_folder", default="6_parsed_html")
+    parser.add_argument("--size", choices=SIZES, default="3b")
+    parser.add_argument("--weights", default=None, help="checkpoint path (npz/safetensors/orbax)")
+    parser.add_argument("--image_size", type=int, default=448)
+    parser.add_argument("--max_new_tokens", type=int, default=1024)
+    parser.add_argument(
+        "--dynamic_resolution",
+        action="store_true",
+        help="Qwen2.5-VL native-aspect smart_resize grids (one compile per "
+        "distinct grid shape)",
+    )
+    parser.add_argument("--max_pixels", type=int, default=None)
+    parser.add_argument("--draw_bbox", action="store_true")
+    parser.add_argument("--skip_errors", action="store_true", default=True)
+    return parser
+
+
+def make_document_parser(
+    size: str,
+    weights: str | None,
+    image_size: int,
+    dynamic_resolution: bool,
+    max_pixels: int | None,
+):
+    import jax
+
+    from multimodal_embeddings_tpu.analysis.doc_parser import DocumentParser
+    from multimodal_embeddings_tpu.models.qwen_vl import QwenVLConfig, QwenVLModel
+    from multimodal_embeddings_tpu.models.tokenizer import ByteTokenizer
+
+    config = {
+        "tiny": QwenVLConfig.tiny,
+        "3b": QwenVLConfig.qwen25_vl_3b,
+        "7b": QwenVLConfig.qwen25_vl_7b,
+        "32b": QwenVLConfig.qwen25_vl_32b,
+        "32b-int8": QwenVLConfig.qwen25_vl_32b_int8,
+    }[size]()
+    model = QwenVLModel(config)
+
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    if size == "tiny":
+        image_size = min(image_size, 56)
+    unit = config.vision.patch_size * config.vision.merge_size
+    image_size = max(unit, (image_size // unit) * unit)
+
+    ids = jnp.ones((1, 8), jnp.int32)
+    imgs = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    if weights:
+        from multimodal_embeddings_tpu.models.weights import load_checkpoint
+
+        target = fnn.unbox(
+            jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids, imgs))
+        )
+        variables = load_checkpoint(weights, target)
+    else:
+        logger.warning(
+            "document parser (%s) running with deterministic random weights "
+            "(no checkpoint configured)",
+            size,
+        )
+        variables = fnn.unbox(model.init(jax.random.PRNGKey(0), ids, imgs))
+
+    return DocumentParser(
+        model,
+        variables,
+        ByteTokenizer(),
+        image_size=image_size,
+        dynamic_resolution=dynamic_resolution,
+        max_pixels=max_pixels,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from multimodal_embeddings_tpu.analysis.doc_parser import (
+        clean_and_format_html,
+        draw_bbox,
+        extract_bbox_elements,
+    )
+
+    paths = get_image_paths(args.input_folder)
+    if not paths:
+        logger.error("no images in %s", args.input_folder)
+        return 1
+    os.makedirs(args.output_folder, exist_ok=True)
+    parser_obj = make_document_parser(
+        args.size, args.weights, args.image_size,
+        args.dynamic_resolution, args.max_pixels,
+    )
+
+    n_done = 0
+    index = []
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            html, in_h, in_w = parser_obj.parse(
+                path, max_new_tokens=args.max_new_tokens
+            )
+            raw_path = os.path.join(args.output_folder, f"{stem}.qwen.html")
+            with open(raw_path, "w") as f:
+                f.write(html)
+            with open(
+                os.path.join(args.output_folder, f"{stem}.clean.html"), "w"
+            ) as f:
+                f.write(clean_and_format_html(html))
+            n_boxes = len(extract_bbox_elements(html))
+            if args.draw_bbox:
+                draw_bbox(
+                    path, in_w, in_h, html,
+                    os.path.join(args.output_folder, f"{stem}_bbox.jpg"),
+                )
+            index.append(
+                {
+                    "image_path": path,
+                    "input_width": in_w,
+                    "input_height": in_h,
+                    "n_bbox_elements": n_boxes,
+                    "html": os.path.basename(raw_path),
+                }
+            )
+            n_done += 1
+            logger.info("parsed %s: %d bbox elements", stem, n_boxes)
+        except Exception as exc:  # noqa: BLE001 — continue-on-error contract
+            logger.error("parse failed on %s: %s", stem, exc)
+            if not args.skip_errors:
+                raise
+    with open(os.path.join(args.output_folder, "parse_index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+    logger.info("parsed %d/%d pages", n_done, len(paths))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

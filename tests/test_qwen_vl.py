@@ -1,6 +1,8 @@
 """QwenVL document-parser tests: model forward, cached generation, HTML
 utilities."""
 
+import os
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -414,3 +416,39 @@ class TestFullSizeConfigs:
         stage0_extra = bytes_total - layer_bytes  # embed+head+vision
         per_stage = layer_bytes / 4 + stage0_extra
         assert per_stage < 11 * 2**30, per_stage / 2**30
+
+
+class TestParseCLI:
+    """cli/parse.py — the notebook's user surface as a stage CLI (raw
+    QwenVL HTML + cleaned HTML + optional bbox overlay + index JSON)."""
+
+    def test_parse_cli_artifacts(self, tmp_path, monkeypatch):
+        import json
+
+        from multimodal_embeddings_tpu.cli.parse import main
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        Image.new("RGB", (120, 90), "white").save("pages/doc.png")
+        rc = main(
+            [
+                "--input_folder", "pages",
+                "--output_folder", "out",
+                "--size", "tiny",
+                "--max_new_tokens", "8",
+                "--draw_bbox",
+            ]
+        )
+        assert rc == 0
+        names = sorted(os.listdir("out"))
+        assert names == [
+            "doc.clean.html",
+            "doc.qwen.html",
+            "doc_bbox.jpg",
+            "parse_index.json",
+        ]
+        index = json.load(open("out/parse_index.json"))
+        assert index[0]["input_width"] == index[0]["input_height"] == 56
+        # the clean pass must strip any data-bbox/style attrs
+        clean = open("out/doc.clean.html").read()
+        assert "data-bbox" not in clean
