@@ -24,3 +24,12 @@ python -m multimodal_embeddings_tpu.cli.medians \
 python -m multimodal_embeddings_tpu.cli.columns \
   --input_folder 3_combined_bboxes --median_folder 4_medians_extracted \
   --output_folder 5_column_detection
+
+# Optional stretch stage (the reference's Qwen2.5-VL notebook as a CLI):
+# MMTPU_PARSE_HTML=1 ./run.sh parses pages into QwenVL HTML with
+# data-bbox attributes (needs a checkpoint for real output quality).
+if [ "${MMTPU_PARSE_HTML:-0}" = "1" ]; then
+  python -m multimodal_embeddings_tpu.cli.parse \
+    --input_folder 0_oriented_images --output_folder 6_parsed_html \
+    --size "${MMTPU_PARSE_SIZE:-3b}" --draw_bbox
+fi
