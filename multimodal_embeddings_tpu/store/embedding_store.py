@@ -390,7 +390,11 @@ def _sharded_topk_fn(k: int, mesh, axis_name: str):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+        from jax import shard_map
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
 
     def body(corpus_blk, queries, mask_blk):
         rows = corpus_blk.shape[0]
@@ -406,13 +410,18 @@ def _sharded_topk_fn(k: int, mesh, axis_name: str):
         fs, fpos = jax.lax.top_k(s_all, k)
         return fs, jnp.take_along_axis(g_all, fpos, axis=1)
 
-    mapped = shard_map(
-        body,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(), P(axis_name)),
         out_specs=(P(), P()),
-        check_rep=False,  # outputs are device-identical after all_gather
     )
+    # outputs are device-identical after all_gather; the replication-check
+    # kwarg was renamed check_rep → check_vma in the jax-0.8 top-level API
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    kwargs["check_vma" if "check_vma" in params else "check_rep"] = False
+    mapped = shard_map(body, **kwargs)
     return jax.jit(mapped)
 
 

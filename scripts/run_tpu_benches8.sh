@@ -24,4 +24,7 @@ run headline_enc_attn env MMTPU_ENC_ATTN=1 python bench.py
 # 4. re-queue the 11B embed-chunk A/B that chain 7 lost to session end
 #    (chunk 2 is the measured default at 0.16445 p/s; does 8 amortize?)
 run mme5_11b_chunk8 python bench.py --family mme5 --mme5-size 11b --mme5-chunk 8
+# 5. real-deployment serving A/B: pipelined (prefetch-decode + async
+#    dispatch + writer overlap) vs sequential ingest at 2200x1700 pages
+run serve_pipeline python scripts/serve_pipeline_bench.py
 echo "ALL DONE ($(date +%H:%M:%S))" | tee -a "$LOGDIR/chain8.log"
