@@ -83,6 +83,29 @@ class FusedServer:
             ),
             model_config=model_config,
         )
+        self.mesh = None
+        if getattr(args, "data_parallel", 1) > 1:
+            # multi-chip serving: page batch sharded over the mesh data
+            # axis (the reference's round-robin-GPUs analogue,
+            # embedder.py:190-224, as ONE sharded XLA program)
+            if args.embedder_family != "siglip":
+                raise SystemExit(
+                    "--data_parallel currently serves the siglip family "
+                    "(the mme5 split-program path is single-chip per page)"
+                )
+            import jax
+
+            from multimodal_embeddings_tpu.config import MeshConfig
+            from multimodal_embeddings_tpu.core.mesh import make_mesh
+
+            n = args.data_parallel
+            if len(jax.devices()) < n:
+                raise SystemExit(
+                    f"--data_parallel {n}: only {len(jax.devices())} devices"
+                )
+            self.mesh = make_mesh(
+                MeshConfig(shape=(n, 1)), devices=jax.devices()[:n]
+            )
         _, self.collection = initialize_db(args.db_path)
         from multimodal_embeddings_tpu.pipeline.regions import ImageProcessor
 
@@ -91,6 +114,7 @@ class FusedServer:
             os.path.join(args.db_path, "serve_progress.json")
         )
         self._page_fns: Dict[Tuple[int, int], object] = {}
+        self._batch_fns: Dict[Tuple[int, int], object] = {}
 
     def _fn_for_bucket(self, bucket: Tuple[int, int]):
         if bucket not in self._page_fns:
@@ -235,6 +259,88 @@ class FusedServer:
         self.progress.mark_completed(path)
         return len(ids)
 
+    def _batch_fn_for_bucket(self, bucket: Tuple[int, int]):
+        if bucket not in self._batch_fns:
+            from multimodal_embeddings_tpu.pipeline.fused import (
+                build_fused_batch_fn,
+            )
+
+            logger.info(
+                "compiling dp=%d fused batch program for bucket %s",
+                self.args.data_parallel,
+                bucket,
+            )
+            self._batch_fns[bucket] = build_fused_batch_fn(
+                self.detector,
+                self.embedder,
+                bucket,
+                num_regions=self.args.num_regions,
+                mesh=self.mesh,
+                letterbox=not self.args.squeeze_views,
+            )
+        return self._batch_fns[bucket]
+
+    def _run_batched(self, paths) -> int:
+        """Data-parallel ingest: pages grouped by shape bucket into
+        batches of ``data_parallel``, each batch one sharded XLA program
+        over the mesh data axis; the last partial group is padded by
+        repeating its first page (clone results are discarded)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.io.prefetch import (
+            PrefetchError,
+            Prefetcher,
+        )
+
+        n = self.args.data_parallel
+        total = 0
+        queues: Dict[Tuple[int, int], list] = {}
+
+        def flush(bucket) -> None:
+            nonlocal total
+            entries = queues.pop(bucket, [])
+            if not entries:
+                return
+            padded_batch = np.stack(
+                [prep[0] for _, prep in entries]
+                + [entries[0][1][0]] * (n - len(entries))
+            )
+            result = self._batch_fn_for_bucket(bucket)(jnp.asarray(padded_batch))
+            for b, (path, prep) in enumerate(entries):
+                page_result = jax.tree.map(lambda x: x[b], result)
+                try:
+                    cnt = self._finalize(path, prep, page_result)
+                    total += cnt
+                    logger.info(
+                        "served %s: %d regions (dp batch)",
+                        os.path.basename(path),
+                        cnt,
+                    )
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    logger.error("failed on %s: %s", path, exc)
+
+        prefetcher = Prefetcher(paths, self._prepare, depth=2)
+        try:
+            it = iter(prefetcher)
+            while True:
+                try:
+                    path, prepared = next(it)
+                except StopIteration:
+                    break
+                except PrefetchError as exc:
+                    logger.error("failed on %s: %s", exc.item, exc.cause)
+                    continue
+                bucket = prepared[1]
+                queues.setdefault(bucket, []).append((path, prepared))
+                if len(queues[bucket]) == n:
+                    flush(bucket)
+            for bucket in list(queues):
+                flush(bucket)
+        finally:
+            prefetcher.close()
+        return total
+
     def process_page(self, path: str) -> int:
         """Sequential single-page path (decode → execute → finalize)."""
         prepared = self._prepare(path)
@@ -259,6 +365,18 @@ class FusedServer:
         ]
         total = 0
         start = time.perf_counter()
+        if self.mesh is not None:
+            self._run_batched(paths)
+            if paths:
+                elapsed = time.perf_counter() - start
+                logger.info(
+                    "ingested %d pages in %.2fs (%.2f pages/s, dp=%d)",
+                    len(paths),
+                    elapsed,
+                    len(paths) / elapsed,
+                    self.args.data_parallel,
+                )
+            return len(paths)
         if getattr(self.args, "no_prefetch", False):
             # sequential A/B reference for measuring the pipeline win
             for path in paths:
@@ -350,6 +468,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="aspect-squeeze view resize instead of the default letterbox "
         "(2.3%% faster, but detection agreement with the exact stage chain "
         "drops from 0.69 to 0.39 precision — SERVE_PARITY.json)",
+    )
+    parser.add_argument(
+        "--data_parallel",
+        type=int,
+        default=1,
+        help="shard page batches of this size over the mesh data axis "
+        "(multi-chip serving; pages grouped by shape bucket)",
     )
     parser.add_argument(
         "--no_prefetch",

@@ -94,7 +94,7 @@ def _make_pages(folder, n=3, size=(120, 150)):
     return paths
 
 
-def _tiny_server(input_folder, db_path):
+def _tiny_server(input_folder, db_path, *extra):
     args = build_parser().parse_args(
         [
             "--input_folder",
@@ -113,6 +113,7 @@ def _tiny_server(input_folder, db_path):
             "siglip",
             "--embedder_size",
             "tiny",
+            *extra,
         ]
     )
     return FusedServer(args)
@@ -151,6 +152,31 @@ class TestFusedServerE2E:
     def test_second_run_is_noop(self, served):
         server, _, _ = served
         assert server.run_once() == 0
+
+    def test_data_parallel_matches_sequential(self, tmp_path):
+        """dp=4 serving on the 8-device virtual mesh (pages sharded over
+        the data axis, last partial group padded) must fill the store
+        identically to single-device sequential serving — the multi-chip
+        replacement for the reference's per-GPU round-robin
+        (embedder.py:190-224)."""
+        pages = _make_pages(str(tmp_path / "pages"), n=5)
+        dp = _tiny_server(
+            str(tmp_path / "pages"), str(tmp_path / "db_dp"),
+            "--data_parallel", "4",
+        )
+        assert dp.run_once() == len(pages)
+
+        seq = _tiny_server(str(tmp_path / "pages"), str(tmp_path / "db_s"))
+        for p in pages:
+            seq.process_page(p)
+
+        a = dp.collection.get(include=("embeddings",))
+        b = seq.collection.get(include=("embeddings",))
+        assert sorted(a["ids"]) == sorted(b["ids"]) and a["ids"]
+        ea = dict(zip(a["ids"], a["embeddings"]))
+        eb = dict(zip(b["ids"], b["embeddings"]))
+        for rid in ea:
+            np.testing.assert_allclose(ea[rid], eb[rid], atol=2e-5)
 
     def test_pipelined_matches_sequential(self, tmp_path):
         """The 3-stage pipeline must produce exactly the store the
