@@ -153,6 +153,26 @@ class TestFusedServerE2E:
         server, _, _ = served
         assert server.run_once() == 0
 
+    def test_corrupt_page_is_skipped_not_fatal(self, tmp_path):
+        """A page that fails decode on the prefetch thread must be
+        skipped (reference skip-errors contract) while the rest of the
+        stream is served."""
+        pages = _make_pages(str(tmp_path / "pages"), n=2)
+        with open(str(tmp_path / "pages" / "corrupt_aa.png"), "wb") as f:
+            f.write(b"not a png")
+        server = _tiny_server(str(tmp_path / "pages"), str(tmp_path / "db_c"))
+        assert server.run_once() == 3  # attempted all three
+        for p in pages:
+            assert server.progress.is_completed(p)
+        assert not server.progress.is_completed(
+            str(tmp_path / "pages" / "corrupt_aa.png")
+        )
+        page_ids = [
+            i for i in server.collection.get()["ids"]
+            if not i.startswith("region_")
+        ]
+        assert sorted(page_ids) == sorted(os.path.basename(p) for p in pages)
+
     def test_data_parallel_matches_sequential(self, tmp_path):
         """dp=4 serving on the 8-device virtual mesh (pages sharded over
         the data axis, last partial group padded) must fill the store
