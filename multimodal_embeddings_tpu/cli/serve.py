@@ -87,12 +87,8 @@ class FusedServer:
         if getattr(args, "data_parallel", 1) > 1:
             # multi-chip serving: page batch sharded over the mesh data
             # axis (the reference's round-robin-GPUs analogue,
-            # embedder.py:190-224, as ONE sharded XLA program)
-            if args.embedder_family != "siglip":
-                raise SystemExit(
-                    "--data_parallel currently serves the siglip family "
-                    "(the mme5 split-program path is single-chip per page)"
-                )
+            # embedder.py:190-224, as sharded XLA programs — one fused
+            # program for siglip, the two-program split for mme5)
             import jax
 
             from multimodal_embeddings_tpu.config import MeshConfig
@@ -263,21 +259,46 @@ class FusedServer:
         if bucket not in self._batch_fns:
             from multimodal_embeddings_tpu.pipeline.fused import (
                 build_fused_batch_fn,
+                build_split_batch_fn,
             )
 
             logger.info(
-                "compiling dp=%d fused batch program for bucket %s",
+                "compiling dp=%d batch program(s) for bucket %s",
                 self.args.data_parallel,
                 bucket,
             )
-            self._batch_fns[bucket] = build_fused_batch_fn(
-                self.detector,
-                self.embedder,
-                bucket,
-                num_regions=self.args.num_regions,
-                mesh=self.mesh,
-                letterbox=not self.args.squeeze_views,
-            )
+            if self.embedder.config.family == "mme5":
+                # parity embedder: two sharded programs (detect batch +
+                # embed chunks), one page per chip over the data axis
+                if self.args.embedder_size == "tiny":
+                    chunk = self.args.num_regions
+                elif self.embedder.model_config.quantize:
+                    chunk = 2
+                else:
+                    chunk = 8
+                chunk = max(
+                    c
+                    for c in range(1, chunk + 1)
+                    if self.args.num_regions % c == 0
+                )
+                self._batch_fns[bucket] = build_split_batch_fn(
+                    self.detector,
+                    self.embedder,
+                    bucket,
+                    num_regions=self.args.num_regions,
+                    embed_chunk=chunk,
+                    letterbox=not self.args.squeeze_views,
+                    mesh=self.mesh,
+                )
+            else:
+                self._batch_fns[bucket] = build_fused_batch_fn(
+                    self.detector,
+                    self.embedder,
+                    bucket,
+                    num_regions=self.args.num_regions,
+                    mesh=self.mesh,
+                    letterbox=not self.args.squeeze_views,
+                )
         return self._batch_fns[bucket]
 
     def _run_batched(self, paths) -> int:

@@ -642,3 +642,109 @@ def build_fused_batch_fn(
         return batched3(det_rep, emb_rep, pages)
 
     return sharded
+
+
+def build_split_batch_fn(
+    detector: LayoutDetector,
+    embedder: MultimodalEmbedder,
+    page_hw: Tuple[int, int],
+    num_regions: int = 48,
+    embed_chunk: int = 8,
+    letterbox: bool = False,
+    mesh=None,
+):
+    """Data-parallel variant of the two-program split: a page BATCH runs
+    the detect+crop program vmapped over the data axis, then each region
+    chunk runs the embed program vmapped over the same axis — every chip
+    serves its own page with replicated weights (the reference's per-GPU
+    round-robin, ``deprecated_package/embedder.py:190-224``, as sharded
+    XLA programs). This is the multi-chip serving shape for the PARITY
+    embedder: an 11B int8 tree fills most of one chip, so scaling is one
+    page per chip over the data axis rather than intra-page parallelism.
+
+    Returns ``fn(pages_uint8 (B, H, W, C)) -> PageResult`` with leading
+    batch dims. Per-page results equal ``build_split_page_fn`` (the
+    single-page split) within vmap-reassociation tolerance.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_embeddings_tpu.core.mesh import DATA_AXIS
+
+    family = embedder.config.family
+    if family not in ("mme5", "siglip"):
+        raise ValueError(f"unsupported split-batch family: {family}")
+    assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
+    emb_size = embedder.image_size
+
+    detect2 = _make_detect_crop(
+        detector, page_hw, num_regions, emb_size, letterbox=letterbox
+    )
+    det_vars_dev = _device_vars(detector.variables)
+    emb_model = embedder.model
+    emb_vars_dev = _device_vars(embedder.variables)
+
+    batched_detect = jax.jit(jax.vmap(detect2, in_axes=(None, 0)))
+
+    if family == "siglip":
+
+        def embed_one(variables, crops):  # crops: (chunk, S, S, C)
+            return emb_model.apply(
+                variables, crops, method=emb_model.encode_image
+            )
+
+    else:
+        from multimodal_embeddings_tpu.models.mllama_processor import (
+            IMAGE_MEAN,
+            IMAGE_STD,
+        )
+
+        prompt_ids, prompt_mask = embedder.tokenizer.encode_batch(
+            [embedder.config.prompt], embedder.text_len
+        )
+        prompt_ids = jnp.asarray(prompt_ids)
+        prompt_mask = jnp.asarray(prompt_mask)
+
+        def embed_one(variables, crops):
+            c = (crops - jnp.asarray(IMAGE_MEAN, crops.dtype)) / jnp.asarray(
+                IMAGE_STD, crops.dtype
+            )
+            n = c.shape[0]
+            ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+            mask = jnp.broadcast_to(prompt_mask, (n, prompt_mask.shape[1]))
+            return emb_model.apply(variables, ids, mask, c)
+
+    # (B, chunk, S, S, C) → (B, chunk, D); page axis stays outermost so a
+    # data-axis sharding keeps each page's embed forward on its own chip
+    batched_embed = jax.jit(jax.vmap(embed_one, in_axes=(None, 0)))
+
+    if mesh is not None:
+        page_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+        rep = NamedSharding(mesh, P())
+
+        def _replicate(tree):
+            return jax.tree.map(
+                lambda x: x
+                if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+                else jax.device_put(x, rep),
+                tree,
+            )
+
+        det_vars_dev = _replicate(det_vars_dev)
+        emb_vars_dev = _replicate(emb_vars_dev)
+
+    def fn(pages) -> PageResult:
+        if mesh is not None:
+            pages = jax.device_put(pages, page_sharding)
+        boxes, scores, classes, valid, crops = batched_detect(
+            det_vars_dev, pages
+        )
+        embs = [
+            batched_embed(emb_vars_dev, crops[:, i : i + embed_chunk])
+            for i in range(0, num_regions, embed_chunk)
+        ]
+        return PageResult(
+            boxes, scores, classes, valid, jnp.concatenate(embs, axis=1)
+        )
+
+    fn._chunk = embed_chunk
+    return fn

@@ -223,6 +223,90 @@ class TestFusedBatch:
         np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
 
 
+class TestSplitBatch:
+    """build_split_batch_fn — the data-parallel two-program split (one
+    page per chip for the parity embedder)."""
+
+    def _models(self):
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=(), max_detections=32
+            ),
+            dtype=jnp.float32,
+        )
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(family="mme5", dtype="float32"),
+            model_config=MllamaConfig.tiny(),
+        )
+        return detector, embedder
+
+    def test_batched_split_matches_single_split(self):
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_split_batch_fn,
+            build_split_page_fn,
+        )
+
+        detector, embedder = self._models()
+        single = build_split_page_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2,
+            closure_weights=False,
+        )
+        batch = build_split_batch_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2
+        )
+        rng = np.random.default_rng(3)
+        pages = rng.integers(0, 255, (2, 256, 200, 3)).astype(np.uint8)
+        got = batch(jnp.asarray(pages))
+        assert got.embeddings.shape[:2] == (2, 4)
+        for b in range(2):
+            want = single(jnp.asarray(pages[b]))
+            np.testing.assert_allclose(
+                np.asarray(got.boxes[b]), np.asarray(want.boxes), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.embeddings[b]),
+                np.asarray(want.embeddings),
+                atol=2e-5,
+            )
+
+    def test_mesh_sharded_split_batch(self, devices8):
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.config import MeshConfig
+        from multimodal_embeddings_tpu.core.mesh import make_mesh
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_split_batch_fn,
+            build_split_page_fn,
+        )
+
+        detector, embedder = self._models()
+        mesh = make_mesh(MeshConfig(shape=(4, 1)), devices=devices8[:4])
+        fn = build_split_batch_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2,
+            mesh=mesh,
+        )
+        single = build_split_page_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2,
+            closure_weights=False,
+        )
+        rng = np.random.default_rng(4)
+        pages = rng.integers(0, 255, (4, 256, 200, 3)).astype(np.uint8)
+        out = fn(jnp.asarray(pages))
+        for b in range(4):
+            want = single(jnp.asarray(pages[b]))
+            np.testing.assert_allclose(
+                np.asarray(out.embeddings[b]),
+                np.asarray(want.embeddings),
+                atol=2e-5,
+            )
+
+
 class TestCrossViewDedup:
     def test_config_roundtrip(self, tmp_path):
         from multimodal_embeddings_tpu.config import PipelineConfig

@@ -198,6 +198,32 @@ class TestFusedServerE2E:
         for rid in ea:
             np.testing.assert_allclose(ea[rid], eb[rid], atol=2e-5)
 
+    def test_data_parallel_mme5_matches_sequential(self, tmp_path):
+        """dp serving of the PARITY-architecture (mme5) family runs the
+        two-program split batched over the data axis; store must equal
+        single-device sequential serving."""
+        pages = _make_pages(str(tmp_path / "pages"), n=3)
+        dp = _tiny_server(
+            str(tmp_path / "pages"), str(tmp_path / "db_mdp"),
+            "--embedder_family", "mme5", "--data_parallel", "2",
+        )
+        assert dp.run_once() == len(pages)
+
+        seq = _tiny_server(
+            str(tmp_path / "pages"), str(tmp_path / "db_ms"),
+            "--embedder_family", "mme5",
+        )
+        for p in pages:
+            seq.process_page(p)
+
+        a = dp.collection.get(include=("embeddings",))
+        b = seq.collection.get(include=("embeddings",))
+        assert sorted(a["ids"]) == sorted(b["ids"]) and a["ids"]
+        ea = dict(zip(a["ids"], a["embeddings"]))
+        eb = dict(zip(b["ids"], b["embeddings"]))
+        for rid in ea:
+            np.testing.assert_allclose(ea[rid], eb[rid], atol=3e-5)
+
     def test_pipelined_matches_sequential(self, tmp_path):
         """The 3-stage pipeline must produce exactly the store the
         sequential per-page path produces (ids + embeddings)."""
