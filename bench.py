@@ -613,6 +613,19 @@ def main() -> None:
         return
 
     last_good_path = os.path.join(here, "BENCH_LAST_GOOD.json")
+    # the outage-degradation record applies ONLY to the canonical default
+    # headline config — args.record excludes flag A/Bs, and the env-flag
+    # A/Bs (in-model kernel swaps) must not masquerade as the default
+    default_headline = (
+        args.record
+        and args.family == "siglip"
+        and not args.quick
+        and args.closure_weights == DEFAULT_CLOSURE_WEIGHTS
+        and not any(
+            os.environ.get(v) == "1"
+            for v in ("MMTPU_ENC_ATTN", "MMTPU_F32_LOGITS")
+        )
+    )
     try:
         info = run_bench(
             args.pages,
@@ -628,20 +641,25 @@ def main() -> None:
             closure_weights=args.closure_weights,
             auto_layouts=args.auto_layouts,
         )
-    except Exception as exc:  # noqa: BLE001 — degrade to the last record
+    except Exception as exc:  # noqa: BLE001 — filtered + re-raised below
         # TPU tunnel outage path (the in-guest relay can die with a prior
         # session and is not restartable from inside — CLAUDE.md): emit
         # the last MEASURED default-config result, explicitly marked
         # stale, instead of recording nothing. Only the default headline
-        # config degrades this way; explicit A/B configs re-raise.
-        is_default = (
-            args.family == "siglip"
-            and not args.quick
-            and args.closure_weights == DEFAULT_CLOSURE_WEIGHTS
-            and args.batch == 1
-            and args.profile is None
+        # config degrades this way, and only on backend/tunnel
+        # unavailability — code regressions must still crash loudly.
+        msg = f"{type(exc).__name__}: {exc}"
+        outage = any(
+            marker in msg
+            for marker in (
+                "UNAVAILABLE",
+                "Unable to initialize backend",
+                "DEADLINE_EXCEEDED",
+                "Broken pipe",
+                "remote_compile",
+            )
         )
-        if is_default and os.path.exists(last_good_path):
+        if default_headline and outage and os.path.exists(last_good_path):
             with open(last_good_path) as f:
                 stale = json.load(f)
             stale["stale"] = True
@@ -755,12 +773,7 @@ def main() -> None:
     if os.path.exists(mme5_path) and not args.quick:
         with open(mme5_path) as f:
             line["mme5_pages_per_sec"] = json.load(f).get("value")
-    if (
-        args.family == "siglip"
-        and not args.quick
-        and args.closure_weights == DEFAULT_CLOSURE_WEIGHTS
-        and args.batch == 1
-    ):
+    if default_headline:
         # the outage-degradation record (see the except path in main)
         with open(last_good_path, "w") as f:
             json.dump({**line, "measured": time.strftime("%Y-%m-%d %H:%M")}, f, indent=2)

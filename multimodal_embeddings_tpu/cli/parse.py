@@ -48,7 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--max_pixels", type=int, default=None)
     parser.add_argument("--draw_bbox", action="store_true")
-    parser.add_argument("--skip_errors", action="store_true", default=True)
+    parser.add_argument(
+        "--skip_errors",
+        action="store_true",
+        help="log-and-continue on per-page failures (opt-in, matching the "
+        "reference stage CLIs); without it the first failure propagates",
+    )
     return parser
 
 

@@ -112,6 +112,21 @@ class FusedServer:
         self._page_fns: Dict[Tuple[int, int], object] = {}
         self._batch_fns: Dict[Tuple[int, int], object] = {}
 
+    def _embed_chunk(self) -> int:
+        """mme5 split-path region-embed chunk: the int8 11B vision
+        attention's transient bounds the chunk to 2; bf16 runs 8; tiny
+        test configs take the whole batch. Single source for both the
+        single-page and dp paths."""
+        if self.args.embedder_size == "tiny":
+            cap = self.args.num_regions
+        elif self.embedder.model_config.quantize:
+            cap = 2
+        else:
+            cap = 8
+        return max(
+            c for c in range(1, cap + 1) if self.args.num_regions % c == 0
+        )
+
     def _fn_for_bucket(self, bucket: Tuple[int, int]):
         if bucket not in self._page_fns:
             from multimodal_embeddings_tpu.pipeline.fused import (
@@ -126,20 +141,13 @@ class FusedServer:
             ):
                 # full-size Mllama embedders must serve through the
                 # two-program split — the combined program exceeds the
-                # remote compiler (CLAUDE.md), and the int8 11B vision
-                # attention bounds the embed chunk to 2
-                chunk = 2 if self.embedder.model_config.quantize else 8
-                chunk = max(
-                    c
-                    for c in range(1, chunk + 1)
-                    if self.args.num_regions % c == 0
-                )
+                # remote compiler (CLAUDE.md)
                 self._page_fns[bucket] = build_split_page_fn(
                     self.detector,
                     self.embedder,
                     bucket,
                     num_regions=self.args.num_regions,
-                    embed_chunk=chunk,
+                    embed_chunk=self._embed_chunk(),
                     letterbox=not self.args.squeeze_views,
                 )
             elif self.args.embedder_size != "tiny":
@@ -270,23 +278,12 @@ class FusedServer:
             if self.embedder.config.family == "mme5":
                 # parity embedder: two sharded programs (detect batch +
                 # embed chunks), one page per chip over the data axis
-                if self.args.embedder_size == "tiny":
-                    chunk = self.args.num_regions
-                elif self.embedder.model_config.quantize:
-                    chunk = 2
-                else:
-                    chunk = 8
-                chunk = max(
-                    c
-                    for c in range(1, chunk + 1)
-                    if self.args.num_regions % c == 0
-                )
                 self._batch_fns[bucket] = build_split_batch_fn(
                     self.detector,
                     self.embedder,
                     bucket,
                     num_regions=self.args.num_regions,
-                    embed_chunk=chunk,
+                    embed_chunk=self._embed_chunk(),
                     letterbox=not self.args.squeeze_views,
                     mesh=self.mesh,
                 )
@@ -307,7 +304,6 @@ class FusedServer:
         over the mesh data axis; the last partial group is padded by
         repeating its first page (clone results are discarded)."""
         import jax
-        import jax.numpy as jnp
 
         from multimodal_embeddings_tpu.io.prefetch import (
             PrefetchError,
@@ -323,11 +319,19 @@ class FusedServer:
             entries = queues.pop(bucket, [])
             if not entries:
                 return
+            # numpy batch straight into the batch fn: its device_put shards
+            # host→chips once (jnp.asarray here would first commit the full
+            # batch to device 0, a second cross-device copy per batch)
             padded_batch = np.stack(
                 [prep[0] for _, prep in entries]
                 + [entries[0][1][0]] * (n - len(entries))
             )
-            result = self._batch_fn_for_bucket(bucket)(jnp.asarray(padded_batch))
+            try:
+                result = self._batch_fn_for_bucket(bucket)(padded_batch)
+            except Exception as exc:  # noqa: BLE001 — keep serving other buckets
+                for path, _ in entries:
+                    logger.error("failed on %s: %s", path, exc)
+                return
             for b, (path, prep) in enumerate(entries):
                 page_result = jax.tree.map(lambda x: x[b], result)
                 try:

@@ -251,7 +251,9 @@ def run_detect_stage(
                     exc.cause,
                 )
                 if not skip_errors:
-                    raise
+                    # preserve the sequential path's contract: callers see
+                    # the original decode exception type, not the wrapper
+                    raise exc.cause
                 continue
             try:
                 full_regions, per_grid = detector.detect_page_multigrid(
