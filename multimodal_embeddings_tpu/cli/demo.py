@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from multimodal_embeddings_tpu.cli import apply_env_platform
+
+    apply_env_platform()
     args = build_parser().parse_args(argv)
     from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
     from multimodal_embeddings_tpu.store.embedding_store import initialize_db

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from multimodal_embeddings_tpu.cli import apply_env_platform
+
+    apply_env_platform()
     args = build_parser().parse_args(argv)
     config = DetectorConfig(
         image_size=args.imgsz,

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from multimodal_embeddings_tpu.cli import apply_env_platform
+
+    apply_env_platform()
     args = build_parser().parse_args(argv)
     stats = run_edge_filter_stage(
         args.input_folder,

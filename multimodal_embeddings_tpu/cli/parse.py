@@ -115,6 +115,9 @@ def make_document_parser(
 
 
 def main(argv=None) -> int:
+    from multimodal_embeddings_tpu.cli import apply_env_platform
+
+    apply_env_platform()
     args = build_parser().parse_args(argv)
     from multimodal_embeddings_tpu.analysis.doc_parser import (
         clean_and_format_html,

@@ -75,6 +75,44 @@ class FusedServer:
                 model_config = DualEncoderConfig.tiny()
         else:
             model_config = None
+        self.mesh = None
+        dp = getattr(args, "data_parallel", 1)
+        mp = getattr(args, "model_parallel", 1)
+        if dp > 1 or mp > 1:
+            # multi-chip serving mesh. Data axis: page batch sharded one
+            # page per dp group (the reference's round-robin-GPUs
+            # analogue, embedder.py:190-224, as sharded XLA programs —
+            # one fused program for siglip, the two-program split for
+            # mme5). Model axis: the parity embedder's weights
+            # tensor-sharded by the Megatron-style logical-axis rules
+            # (parallel/sharding.py) — the serving shape for trees one
+            # chip can't hold (bf16 11B ≈ 21GB vs 16GB/chip → tp=2).
+            import jax
+
+            from multimodal_embeddings_tpu.config import MeshConfig
+            from multimodal_embeddings_tpu.core.mesh import make_mesh
+
+            need = dp * mp
+            if len(jax.devices()) < need:
+                raise SystemExit(
+                    f"--data_parallel {dp} x --model_parallel {mp} needs "
+                    f"{need} devices; only {len(jax.devices())} visible"
+                )
+            if mp > 1 and args.embedder_family != "mme5":
+                raise SystemExit(
+                    "--model_parallel tensor-shards the parity (mme5) "
+                    "embedder; the siglip tower fits one chip — scale it "
+                    "with --data_parallel"
+                )
+            if mp > 1 and getattr(args, "quantize", False):
+                raise SystemExit(
+                    "--model_parallel serves the bf16 tree; the int8 path "
+                    "is single-chip (drop --quantize, or use "
+                    "--data_parallel alone)"
+                )
+            self.mesh = make_mesh(
+                MeshConfig(shape=(dp, mp)), devices=jax.devices()[:need]
+            )
         self.embedder = MultimodalEmbedder(
             EmbedderConfig(
                 family=args.embedder_family,
@@ -82,26 +120,11 @@ class FusedServer:
                 quantize=getattr(args, "quantize", False),
             ),
             model_config=model_config,
+            # tensor parallelism shards the embedder tree at load; dp-only
+            # meshes keep the single-device tree (the batch builders
+            # replicate it once at build time)
+            mesh=self.mesh if mp > 1 else None,
         )
-        self.mesh = None
-        if getattr(args, "data_parallel", 1) > 1:
-            # multi-chip serving: page batch sharded over the mesh data
-            # axis (the reference's round-robin-GPUs analogue,
-            # embedder.py:190-224, as sharded XLA programs — one fused
-            # program for siglip, the two-program split for mme5)
-            import jax
-
-            from multimodal_embeddings_tpu.config import MeshConfig
-            from multimodal_embeddings_tpu.core.mesh import make_mesh
-
-            n = args.data_parallel
-            if len(jax.devices()) < n:
-                raise SystemExit(
-                    f"--data_parallel {n}: only {len(jax.devices())} devices"
-                )
-            self.mesh = make_mesh(
-                MeshConfig(shape=(n, 1)), devices=jax.devices()[:n]
-            )
         _, self.collection = initialize_db(args.db_path)
         from multimodal_embeddings_tpu.pipeline.regions import ImageProcessor
 
@@ -367,8 +390,20 @@ class FusedServer:
         return total
 
     def process_page(self, path: str) -> int:
-        """Sequential single-page path (decode → execute → finalize)."""
+        """Sequential single-page path (decode → execute → finalize).
+
+        On a mesh the page runs through the sharded batch program (a
+        TP-sharded embedder tree can't execute the single-device split
+        program — mixed device commitments); the data axis is padded by
+        repeating the page and clone results are discarded."""
         prepared = self._prepare(path)
+        if self.mesh is not None:
+            import jax
+
+            fn = self._batch_fn_for_bucket(prepared[1])
+            batch = np.stack([prepared[0]] * self.args.data_parallel)
+            result = jax.tree.map(lambda x: x[0], fn(batch))
+            return self._finalize(path, prepared, result)
         return self._finalize(path, prepared, self._submit(prepared))
 
     def run_once(self) -> int:
@@ -395,11 +430,12 @@ class FusedServer:
             if paths:
                 elapsed = time.perf_counter() - start
                 logger.info(
-                    "ingested %d pages in %.2fs (%.2f pages/s, dp=%d)",
+                    "ingested %d pages in %.2fs (%.2f pages/s, dp=%d tp=%d)",
                     len(paths),
                     elapsed,
                     len(paths) / elapsed,
                     self.args.data_parallel,
+                    getattr(self.args, "model_parallel", 1),
                 )
             return len(paths)
         if getattr(self.args, "no_prefetch", False):
@@ -502,6 +538,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(multi-chip serving; pages grouped by shape bucket)",
     )
     parser.add_argument(
+        "--model_parallel",
+        type=int,
+        default=1,
+        help="tensor-shard the parity (mme5) embedder over this many chips "
+        "per page (Megatron-style logical-axis rules; serves weight trees "
+        "one chip can't hold, e.g. bf16 11B at tp=2); composes with "
+        "--data_parallel on a (dp, tp) mesh",
+    )
+    parser.add_argument(
         "--no_prefetch",
         action="store_true",
         help="disable the 3-stage ingest pipeline (sequential decode → "
@@ -513,6 +558,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from multimodal_embeddings_tpu.cli import apply_env_platform
+
+    apply_env_platform()
     args = build_parser().parse_args(argv)
     server = FusedServer(args)
     server.run_once()

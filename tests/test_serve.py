@@ -224,6 +224,55 @@ class TestFusedServerE2E:
         for rid in ea:
             np.testing.assert_allclose(ea[rid], eb[rid], atol=3e-5)
 
+    def test_model_parallel_mme5_matches_sequential(self, tmp_path):
+        """dp=2 x tp=2 serving: pages sharded over the data axis AND the
+        mme5 tree tensor-sharded over the model axis (the serving shape
+        for weight trees one chip can't hold — bf16 11B at tp>=2). Store
+        must equal single-device sequential serving."""
+        pages = _make_pages(str(tmp_path / "pages"), n=3)
+        tp = _tiny_server(
+            str(tmp_path / "pages"), str(tmp_path / "db_tp"),
+            "--embedder_family", "mme5",
+            "--data_parallel", "2", "--model_parallel", "2",
+        )
+        assert tp.mesh is not None and tp.mesh.devices.size == 4
+        assert tp.run_once() == len(pages)
+
+        seq = _tiny_server(
+            str(tmp_path / "pages"), str(tmp_path / "db_ts"),
+            "--embedder_family", "mme5",
+        )
+        for p in pages:
+            seq.process_page(p)
+
+        a = tp.collection.get(include=("embeddings",))
+        b = seq.collection.get(include=("embeddings",))
+        assert sorted(a["ids"]) == sorted(b["ids"]) and a["ids"]
+        ea = dict(zip(a["ids"], a["embeddings"]))
+        eb = dict(zip(b["ids"], b["embeddings"]))
+        for rid in ea:
+            # TP splits each contraction into per-chip bf16 partial sums
+            # (different rounding than the single-device reduction —
+            # measured max abs ~2e-3 on these unit vectors), so the
+            # equality gate is the BASELINE.json embedding-parity
+            # criterion (cosine >= 0.999), not elementwise bits
+            va, vb = np.asarray(ea[rid]), np.asarray(eb[rid])
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            assert cos >= 0.999, (rid, cos)
+            np.testing.assert_allclose(va, vb, atol=5e-3)
+
+    def test_model_parallel_rejects_siglip(self, tmp_path):
+        """The siglip tower fits one chip; --model_parallel must refuse it
+        with guidance rather than shard a 100MB tree."""
+        _make_pages(str(tmp_path / "pages"), n=1)
+        with pytest.raises(SystemExit):
+            _tiny_server(
+                str(tmp_path / "pages"), str(tmp_path / "db_x"),
+                "--model_parallel", "2",
+            )
+
     def test_pipelined_matches_sequential(self, tmp_path):
         """The 3-stage pipeline must produce exactly the store the
         sequential per-page path produces (ids + embeddings)."""
