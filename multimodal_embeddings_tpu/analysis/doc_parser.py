@@ -183,18 +183,30 @@ class DocumentParser:
         image_size: int = 448,
         dynamic_resolution: bool = False,
         max_pixels: Optional[int] = None,
+        pp_mesh=None,
+        pp_stages: Optional[int] = None,
     ):
         """``dynamic_resolution=True`` runs the Qwen2.5-VL native-aspect
         path: the page is smart-resized onto its own merged-patch grid
         (aspect preserved, pixel budget ``max_pixels``, default
         image_size²) instead of a fixed square — each distinct grid shape
-        compiles once (static shapes)."""
+        compiles once (static shapes).
+
+        ``pp_stages``/``pp_mesh`` pipeline the decoder stack over a
+        ``stage`` mesh axis (``models/qwen_pp.py``) — the serving shape
+        for the notebook's 32B flagship, whose decoder does not fit one
+        chip (fit math: ``models/qwen_vl.py::qwen25_vl_32b``). Token
+        output equals the single-device decode (test-locked)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.image_size = image_size
         self.dynamic_resolution = dynamic_resolution
         self.max_pixels = max_pixels or image_size * image_size
+        if (pp_mesh is None) != (pp_stages is None):
+            raise ValueError("pp_mesh and pp_stages must be set together")
+        self.pp_mesh = pp_mesh
+        self.pp_stages = pp_stages
 
     def build_prompt_ids(self, n_image_tokens: int, max_len: int) -> np.ndarray:
         """Chat-template prompt with image-pad placeholders spliced in."""
@@ -248,9 +260,25 @@ class DocumentParser:
                 f"max_len={self.model.config.text.max_len}"
             )
         ids = self.build_prompt_ids(n_tokens, prompt_budget)
-        out_tokens = greedy_generate(
-            self.model, self.variables, ids, arr, max_new_tokens=max_new_tokens
-        )
+        if self.pp_stages:
+            from multimodal_embeddings_tpu.models.qwen_pp import (
+                pp_greedy_generate,
+            )
+
+            out_tokens = pp_greedy_generate(
+                self.model.config,
+                self.variables,
+                ids,
+                mesh=self.pp_mesh,
+                n_stages=self.pp_stages,
+                max_new_tokens=max_new_tokens,
+                images=arr,
+            )
+        else:
+            out_tokens = greedy_generate(
+                self.model, self.variables, ids, arr,
+                max_new_tokens=max_new_tokens,
+            )
         text = self.decode_tokens(out_tokens[0])
         return text, input_h, input_w
 

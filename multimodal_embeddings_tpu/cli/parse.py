@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
         "distinct grid shape)",
     )
     parser.add_argument("--max_pixels", type=int, default=None)
+    parser.add_argument(
+        "--pipeline_parallel",
+        type=int,
+        default=1,
+        help="pipeline the decoder stack over this many chips (GPipe ring, "
+        "models/qwen_pp.py) — the 32B notebook flagship serves at int8 + 4 "
+        "stages ~ 10GB/chip; layer count must divide evenly",
+    )
     parser.add_argument("--draw_bbox", action="store_true")
     parser.add_argument(
         "--skip_errors",
@@ -63,6 +71,7 @@ def make_document_parser(
     image_size: int,
     dynamic_resolution: bool,
     max_pixels: int | None,
+    pipeline_parallel: int = 1,
 ):
     import jax
 
@@ -104,6 +113,22 @@ def make_document_parser(
         )
         variables = fnn.unbox(model.init(jax.random.PRNGKey(0), ids, imgs))
 
+    pp_mesh = None
+    if pipeline_parallel > 1:
+        from multimodal_embeddings_tpu.parallel.pipeline import make_pp_mesh
+
+        if config.text.layers % pipeline_parallel:
+            raise SystemExit(
+                f"--pipeline_parallel {pipeline_parallel} must divide the "
+                f"{config.text.layers}-layer decoder evenly"
+            )
+        if len(jax.devices()) < pipeline_parallel:
+            raise SystemExit(
+                f"--pipeline_parallel {pipeline_parallel}: only "
+                f"{len(jax.devices())} devices visible"
+            )
+        pp_mesh = make_pp_mesh(pipeline_parallel)
+
     return DocumentParser(
         model,
         variables,
@@ -111,6 +136,8 @@ def make_document_parser(
         image_size=image_size,
         dynamic_resolution=dynamic_resolution,
         max_pixels=max_pixels,
+        pp_mesh=pp_mesh,
+        pp_stages=pipeline_parallel if pipeline_parallel > 1 else None,
     )
 
 
@@ -133,6 +160,7 @@ def main(argv=None) -> int:
     parser_obj = make_document_parser(
         args.size, args.weights, args.image_size,
         args.dynamic_resolution, args.max_pixels,
+        pipeline_parallel=args.pipeline_parallel,
     )
 
     n_done = 0

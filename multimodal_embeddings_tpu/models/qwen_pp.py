@@ -48,17 +48,24 @@ def _split_layer_params(params: dict, n_layers: int):
 def pp_greedy_generate(
     config: QwenVLConfig,
     variables,
-    token_ids: np.ndarray,  # (B, L) text-only prompt
+    token_ids: np.ndarray,  # (B, L) prompt with image-pad placeholders
     *,
     mesh,
     n_stages: int,
     max_new_tokens: int = 16,
+    images: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Greedy decode with the decoder stack pipelined over ``n_stages``.
 
-    Text-only prompts (the vision tower runs before the ring and is not
-    pipelined; document parsing feeds one merged sequence either way).
-    Returns (B, max_new_tokens) token ids, EOS-padded.
+    ``images`` (B, H, W, 3) runs the vision tower BEFORE the ring (it is
+    stage-0-sized compute, not pipelined) and splices the vision tokens
+    into the ``image_pad_id`` slots of the prompt embeddings — the same
+    merged sequence ``QwenVLModel.embed_multimodal`` builds, so document
+    parsing (the notebook's 32B flagship, cell ``39512aca``) can run its
+    full multimodal prefill+decode through the stage ring. M-RoPE
+    position streams use the merged vision grid, matching the
+    single-device path. Returns (B, max_new_tokens) token ids,
+    EOS-padded.
     """
     cfg = config.text
     params = variables["params"]
@@ -96,8 +103,13 @@ def pp_greedy_generate(
             return x @ lm_kernel
 
     # --- prefill: full causal pass, caches captured as pipeline state ---
+    grid_hw = None
+    if images is not None:
+        vcfg = config.vision
+        m = vcfg.patch_size * vcfg.merge_size
+        grid_hw = (int(images.shape[1]) // m, int(images.shape[2]) // m)
     position_ids, delta = qwen_mrope_position_ids(
-        prompt, config.image_pad_id, None
+        prompt, config.image_pad_id, grid_hw
     )
     cos, sin = mrope_tables(
         position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
@@ -118,7 +130,18 @@ def pp_greedy_generate(
             jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))),
         )
 
-    x = embed_table[prompt].astype(jnp.float32)
+    if images is None:
+        x = embed_table[prompt].astype(jnp.float32)
+    else:
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVLModel
+
+        model = QwenVLModel(config, dtype=jnp.float32)
+        x = model.apply(
+            variables,
+            prompt,
+            jnp.asarray(images),
+            method=model.embed_multimodal,
+        ).astype(jnp.float32)
     hidden, state = pipeline_decode_step(
         prefill_fn, stacked, zero_state, x, mesh=mesh
     )

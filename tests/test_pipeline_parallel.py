@@ -284,6 +284,54 @@ def test_pp_greedy_generate_matches_single_device(devices8):
     np.testing.assert_array_equal(got, np.asarray(ref))
 
 
+def test_pp_greedy_generate_multimodal(devices8):
+    """Multimodal prompts through the ring (the notebook's actual 32B
+    workload: page image + chat prompt): the vision tower runs before
+    stage 0 and its tokens are spliced into the image-pad slots, M-RoPE
+    streams use the merged grid — token output must equal the
+    single-device multimodal greedy_generate."""
+    from multimodal_embeddings_tpu.models.qwen_pp import pp_greedy_generate
+    from multimodal_embeddings_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLModel,
+        greedy_generate,
+    )
+
+    config = QwenVLConfig.tiny()
+    model = QwenVLModel(config, dtype=jnp.float32)
+    unit = config.vision.patch_size * config.vision.merge_size
+    size = unit * 2  # merged grid 2x2 → 4 vision tokens
+    rng = np.random.default_rng(31)
+    images = rng.random((1, size, size, 3)).astype(np.float32)
+    prompt = np.concatenate(
+        [
+            rng.integers(10, config.text.vocab_size, (1, 3)),
+            np.full((1, 4), config.image_pad_id),
+            rng.integers(10, config.text.vocab_size, (1, 3)),
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+    variables = unbox(
+        model.init(jax.random.key(3), jnp.asarray(prompt), jnp.asarray(images))
+    )
+    ref = greedy_generate(
+        model, variables, prompt, images=images, max_new_tokens=4
+    )
+
+    mesh = make_pp_mesh(2, devices8)
+    got = pp_greedy_generate(
+        config,
+        variables,
+        prompt,
+        mesh=mesh,
+        n_stages=2,
+        max_new_tokens=4,
+        images=images,
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref))
+
+
 def test_pp_greedy_generate_quantized(devices8):
     """The 32B serving plan: int8 weights through the PP ring. The pipelined
     int8 decode must reproduce the single-device int8 greedy_generate

@@ -452,3 +452,23 @@ class TestParseCLI:
         # the clean pass must strip any data-bbox/style attrs
         clean = open("out/doc.clean.html").read()
         assert "data-bbox" not in clean
+
+    def test_parse_cli_pipeline_parallel_matches(self, tmp_path, monkeypatch):
+        """--pipeline_parallel 2 (the 32B serving shape: decoder stack
+        over a stage ring) must emit byte-identical HTML artifacts to the
+        single-device parse — the generate path is token-equal, so the
+        whole artifact tree is deterministic."""
+        from multimodal_embeddings_tpu.cli.parse import main
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        Image.new("RGB", (120, 90), "white").save("pages/doc.png")
+        base = ["--input_folder", "pages", "--size", "tiny",
+                "--max_new_tokens", "6"]
+        assert main([*base, "--output_folder", "out_1"]) == 0
+        assert main([*base, "--output_folder", "out_pp",
+                     "--pipeline_parallel", "2"]) == 0
+        for name in ("doc.qwen.html", "doc.clean.html"):
+            a = open(f"out_1/{name}").read()
+            b = open(f"out_pp/{name}").read()
+            assert a == b, name
