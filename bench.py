@@ -82,6 +82,7 @@ def build_pipeline(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
+    mme5_quantize: str = "int8",
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
@@ -134,11 +135,15 @@ def build_pipeline(
 
         if mme5_size == "11b" and not quick:
             # the reference's actual embedder size (config.py:58, 11B) in
-            # int8 weight-only storage — ~10GB, fits one chip
-            # (scripts/int8_11b_smoke.py validated capacity + latency);
-            # synthetic_int8_init builds the tree without the f32 twin
+            # weight-only quantized storage — int8 ~10GB (capacity +
+            # latency validated by scripts/int8_11b_smoke.py) or packed
+            # int4 ~5.5GB (kernels/quantization_int4.py, the weight-
+            # bandwidth probe); synthetic_int8_init builds either tree
+            # without the f32 twin
             embedder = MultimodalEmbedder(
-                EmbedderConfig(family="mme5", dtype="bfloat16", quantize=True)
+                EmbedderConfig(
+                    family="mme5", dtype="bfloat16", quantize=mme5_quantize
+                )
             )
         else:
             mcfg = MllamaConfig.tiny() if quick else MllamaConfig.mme5_2b()
@@ -258,6 +263,7 @@ def run_bench(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
+    mme5_quantize: str = "int8",
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
@@ -274,6 +280,7 @@ def run_bench(
         pallas_convs=pallas_convs,
         letterbox=letterbox,
         mme5_size=mme5_size,
+        mme5_quantize=mme5_quantize,
         fuse_ln=fuse_ln,
         closure_weights=closure_weights,
         auto_layouts=auto_layouts,
@@ -532,6 +539,14 @@ def main() -> None:
         "chip; pages default drops to 2)",
     )
     parser.add_argument(
+        "--mme5-quantize",
+        choices=("int8", "int4"),
+        default="int8",
+        help="11B weight storage class: int8 (the measured default) or "
+        "packed int4 (half the weight bytes/bandwidth; "
+        "kernels/quantization_int4.py)",
+    )
+    parser.add_argument(
         "--mme5-chunk",
         type=int,
         default=None,
@@ -597,6 +612,7 @@ def main() -> None:
         and args.pallas_convs == DEFAULT_PALLAS_CONVS
         and not args.letterbox
         and args.mme5_chunk is None
+        and args.mme5_quantize == "int8"
         and args.batch == 1
         and not args.auto_layouts
         and args.profile is None
@@ -637,6 +653,7 @@ def main() -> None:
             pallas_convs=args.pallas_convs,
             letterbox=args.letterbox,
             mme5_size=args.mme5_size,
+            mme5_quantize=args.mme5_quantize,
             fuse_ln=args.fuse_ln,
             closure_weights=args.closure_weights,
             auto_layouts=args.auto_layouts,

@@ -27,7 +27,7 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 
 logger = get_logger("cli.parse")
 
-SIZES = ("tiny", "3b", "7b", "32b", "32b-int8")
+SIZES = ("tiny", "3b", "7b", "32b", "32b-int8", "32b-int4")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="pipeline the decoder stack over this many chips (GPipe ring, "
         "models/qwen_pp.py) — the 32B notebook flagship serves at int8 + 4 "
-        "stages ~ 10GB/chip; layer count must divide evenly",
+        "stages ~ 10GB/chip, or int4 (the notebook's literal 4-bit storage "
+        "class) + 2 stages ~ 11GB/chip; layer count must divide evenly",
     )
     parser.add_argument("--draw_bbox", action="store_true")
     parser.add_argument(
@@ -85,6 +86,7 @@ def make_document_parser(
         "7b": QwenVLConfig.qwen25_vl_7b,
         "32b": QwenVLConfig.qwen25_vl_32b,
         "32b-int8": QwenVLConfig.qwen25_vl_32b_int8,
+        "32b-int4": QwenVLConfig.qwen25_vl_32b_int4,
     }[size]()
     model = QwenVLModel(config)
 

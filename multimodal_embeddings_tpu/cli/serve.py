@@ -519,9 +519,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--embedder_weights", default=None)
     parser.add_argument(
         "--quantize",
-        action="store_true",
-        help="int8 weight-only mme5 embedder (single-chip 11B serving; "
-        "models/quantized.py)",
+        nargs="?",
+        const="int8",
+        default=False,
+        choices=["int8", "int4"],
+        help="weight-only quantized mme5 embedder (single-chip 11B "
+        "serving; models/quantized.py). Bare --quantize = int8; "
+        "--quantize int4 packs two weights per byte (group-128 scales)",
     )
     parser.add_argument(
         "--squeeze_views",

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Class taxonomy (reference: 1_doclayout_bboxes.py:67-78)
@@ -147,9 +147,11 @@ class EmbedderConfig:
     dtype: str = "bfloat16"
     weights_path: Optional[str] = None
     prompt: str = "<|image|><|begin_of_text|> Represent the given image."
-    # int8 weight-only storage for the mme5 family (models/quantized.py):
-    # the 11B layout fits one 16GB chip at ~11GB instead of ~22GB bf16
-    quantize: bool = False
+    # weight-only quantized storage for the mme5 family
+    # (models/quantized.py): False | True/"int8" | "int4". int8 fits the
+    # 11B layout on one 16GB chip at ~11GB (vs ~22GB bf16); "int4" packs
+    # two values per byte with group-128 scales (~5.5GB dense).
+    quantize: Any = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,202 @@
+"""Weight-only int4 quantization kernels (Pallas TPU).
+
+The reference's flagship document-parsing configuration loads
+Qwen2.5-VL-32B with **4-bit** quantization
+(``QWEN2_5_document_parsing.ipynb`` cell ``39512aca``:
+``BitsAndBytesConfig(load_in_4bit=True)``; the 7B variant uses 8-bit).
+This module is the TPU-native counterpart: symmetric group-wise int4
+weight storage (two values per byte, packed on the host) with per-group
+per-output-channel f32 scales, dequantized inside a Pallas matmul so the
+bf16 weight copy never exists in HBM. 32B decoder weights drop from
+~64GB (bf16) / ~32GB (int8) to **~16GB packed int4** — a 2-stage
+pipeline instead of int8's 4 stages (see SCALING.md fit math).
+
+Layout
+------
+A ``(K, N)`` weight quantizes in groups of ``G`` rows (default 128, the
+standard weight-only group size; falls back to one group when ``K < G``
+or ``K % G != 0``). Within each group the first ``G/2`` rows live in the
+low nibbles and the last ``G/2`` rows in the high nibbles of a
+``(G/2, N)`` uint8 block, so the in-kernel unpack is two shifts + one
+sublane concatenate (no interleave relayout). Nibbles store ``q + 8``
+(offset binary, q ∈ [-8, 7]).
+
+The Pallas kernel walks one group per k-step: unpack → bf16 → MXU dot →
+scale the f32 partial product by the group's ``(1, N)`` scale row. The
+off-TPU fallback dequantizes in f32 (matching the kernel's f32
+accumulator rounding) and lets XLA fuse the matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_embeddings_tpu.kernels.quantization import _on_tpu, _pad_to
+
+
+class Q4Tensor(NamedTuple):
+    """Packed int4 values + per-(group, output-channel) scales.
+
+    ``packed``: uint8 ``(K//2, N)`` — two offset-binary nibbles per byte.
+    ``scale``: f32 ``(n_groups, N)``; group size ``G = K // n_groups``.
+    """
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def int4_group_size(k: int, group_size: int = 128) -> int:
+    """The scale-group size actually used for a ``K``-row weight: the
+    requested ``group_size`` when it divides ``K``, else one group."""
+    if k % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, got {k}")
+    if k >= group_size and k % group_size == 0 and group_size % 2 == 0:
+        return group_size
+    return k
+
+
+def quantize_tensor_int4(
+    w: jnp.ndarray, group_size: int = 128
+) -> Q4Tensor:
+    """Symmetric group-wise int4 quantization of a 2-D ``(K, N)`` weight.
+
+    ``q = clip(round(w / scale), -8, 7)`` with ``scale = max|w|_group / 7``;
+    stored as offset-binary nibbles (``q + 8``) packed two-per-byte with
+    the group's first half in low nibbles (see module docstring).
+    """
+    if w.ndim != 2:
+        raise ValueError(f"expected a 2-D weight, got shape {w.shape}")
+    k, n = w.shape
+    g = int4_group_size(k, group_size)
+    n_groups = k // g
+    wg = w.astype(jnp.float32).reshape(n_groups, g, n)
+    amax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # (n_groups, 1, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int32) + 8
+    lo = q[:, : g // 2, :]
+    hi = q[:, g // 2 :, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8).reshape(k // 2, n)
+    return Q4Tensor(packed=packed, scale=scale.reshape(n_groups, n))
+
+
+def unpack_int4(qt: Q4Tensor) -> jnp.ndarray:
+    """Offset-binary unpack to signed int32 values in [-8, 7], ``(K, N)``."""
+    k2, n = qt.packed.shape
+    n_groups = qt.scale.shape[0]
+    g2 = k2 // n_groups
+    p = qt.packed.reshape(n_groups, g2, n).astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = (p >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * k2, n)
+
+
+def dequantize_int4(qt: Q4Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """``(K, N)`` dequantized weight; f32 scale multiply, then cast."""
+    k2, n = qt.packed.shape
+    n_groups = qt.scale.shape[0]
+    vals = unpack_int4(qt).reshape(n_groups, -1, n).astype(jnp.float32)
+    w = vals * qt.scale.reshape(n_groups, 1, n)
+    return w.reshape(2 * k2, n).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight matmul
+# ---------------------------------------------------------------------------
+
+
+def _mm4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_g: int):
+    gb = pl.program_id(2)
+
+    @pl.when(gb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # unpack in VMEM: two shifts + one sublane concat; the bf16 copy of
+    # the weight group only ever exists in registers feeding the MXU
+    p = p_ref[...].astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(jnp.bfloat16)
+    hi = ((p >> 4) - 8).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=0)
+    part = jnp.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += part * s_ref[...].astype(jnp.float32)
+
+    @pl.when(gb == n_g - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_m", "block_n")
+)
+def int4_matmul(
+    x: jnp.ndarray,  # (M, K) bf16/f32
+    packed: jnp.ndarray,  # (K//2, N) uint8
+    scale: jnp.ndarray,  # (n_groups, N) f32
+    *,
+    interpret: bool | None = None,
+    block_m: int = 128,
+    block_n: int = 128,
+) -> jnp.ndarray:
+    """``x @ dequant(packed, scale)`` — one scale group per k-step."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    out_dtype = x.dtype
+    m, k = x.shape
+    n = packed.shape[1]
+    n_groups = scale.shape[0]
+    g = k // n_groups
+    assert g * n_groups == k and g % 2 == 0, (k, n_groups)
+
+    block_m = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    xp = _pad_to(x, 0, block_m)
+    pp = _pad_to(packed, 1, block_n)
+    sp = _pad_to(scale, 1, block_n)
+    mp = xp.shape[0]
+    np_ = pp.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_mm4_kernel, n_g=n_groups),
+        grid=(mp // block_m, np_ // block_n, n_groups),
+        in_specs=[
+            pl.BlockSpec((block_m, g), lambda i, j, gb: (i, gb)),
+            pl.BlockSpec((g // 2, block_n), lambda i, j, gb: (gb, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, gb: (gb, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, gb: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, pp, sp)
+    return out[:m, :n]
+
+
+def int4_apply(
+    x: jnp.ndarray, qt: Q4Tensor, *, use_kernel: bool | None = None
+) -> jnp.ndarray:
+    """Apply a packed int4 2-D weight to the last axis of ``x``.
+
+    ``use_kernel=None`` auto-selects: Pallas on TPU, XLA dequant-matmul
+    elsewhere. Both paths dequantize in f32, so the CPU path the parity
+    tests lock shares the TPU path's rounding behavior.
+    """
+    if use_kernel is None:
+        use_kernel = _on_tpu()
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if use_kernel:
+        out = int4_matmul(x2, qt.packed, qt.scale, interpret=False)
+    else:
+        out = x2 @ dequantize_int4(qt, x.dtype)
+    return out.reshape(*lead, qt.packed.shape[-1])

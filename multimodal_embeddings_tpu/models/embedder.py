@@ -72,11 +72,13 @@ class MultimodalEmbedder:
             if config.quantize and not self.model_config.quantize:
                 import dataclasses as _dc
 
-                self.model_config = _dc.replace(self.model_config, quantize=True)
+                self.model_config = _dc.replace(
+                    self.model_config, quantize=config.quantize
+                )
             if self.model_config.quantize and mesh is not None:
                 raise ValueError(
-                    "the int8 serving path is single-chip (quantized params "
-                    "carry no TP axis metadata); use bf16 + tensor "
+                    "the int8/int4 serving path is single-chip (quantized "
+                    "params carry no TP axis metadata); use bf16 + tensor "
                     "parallelism on meshes"
                 )
             self.model = MmE5Embedder(self.model_config, dtype=dtype)
@@ -120,9 +122,10 @@ class MultimodalEmbedder:
 
             variables = synthetic_int8_init(self.model, self._init_args, seed=seed)
             logger.warning(
-                "embedder (%s, int8) running with synthetic quantized "
+                "embedder (%s, %s) running with synthetic quantized "
                 "weights (no checkpoint configured)",
                 config.family,
+                "int4" if self.model_config.quantize == "int4" else "int8",
             )
             self.variables = psharding.unbox(variables)
             self._image_fn = None

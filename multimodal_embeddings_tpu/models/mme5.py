@@ -96,10 +96,11 @@ class MllamaTextConfig:
 class MllamaConfig:
     vision: MllamaVisionConfig = dataclasses.field(default_factory=MllamaVisionConfig)
     text: MllamaTextConfig = dataclasses.field(default_factory=MllamaTextConfig)
-    # int8 weight-only serving (models/quantized.py): Dense layers store
-    # int8 + per-channel scales; ~11GB for the 11B layout → fits one v5e
-    # chip (bf16 at ~22GB does not)
-    quantize: bool = False
+    # weight-only quantized serving (models/quantized.py): False |
+    # True/"int8" | "int4". int8 stores per-channel scales (~11GB for the
+    # 11B layout → fits one v5e chip; bf16 at ~22GB does not); "int4"
+    # packs two values per byte with group-128 scales (~5.5GB dense).
+    quantize: Any = False
 
     @classmethod
     def tiny(cls) -> "MllamaConfig":
@@ -136,6 +137,13 @@ class MllamaConfig:
         """The 11B layout with int8 weight storage: the single-chip
         serving config (11GB params + activations fit 16GB HBM)."""
         return cls(quantize=True)
+
+    @classmethod
+    def mme5_11b_int4(cls) -> "MllamaConfig":
+        """The 11B layout with packed int4 weight storage (~5.5GB dense
+        params): halves int8's weight footprint AND weight bandwidth —
+        the headroom config for batch-parallel single-chip serving."""
+        return cls(quantize="int4")
 
     @classmethod
     def mme5_2b(cls) -> "MllamaConfig":
@@ -239,7 +247,7 @@ class MllamaVisionEncoder(nn.Module):
     config: MllamaVisionConfig
     out_dim: int
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(
@@ -370,7 +378,7 @@ class MllamaVisionEncoder(nn.Module):
 class MllamaTextModel(nn.Module):
     config: MllamaTextConfig
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(

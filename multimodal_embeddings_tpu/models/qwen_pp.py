@@ -80,7 +80,22 @@ def pp_greedy_generate(
 
     embed_table = jnp.asarray(params["tok_embed"]["embedding"])
     norm = RMSNorm(dtype=jnp.float32)
-    if config.quantize:
+    if config.quantize == "int4":
+        from multimodal_embeddings_tpu.kernels.quantization_int4 import (
+            Q4Tensor,
+            int4_apply,
+        )
+
+        lm_q4 = Q4Tensor(
+            packed=jnp.asarray(params["lm_head"]["kernel_q4"]),
+            scale=jnp.asarray(params["lm_head"]["kernel_scale"]),
+        )
+
+        def head(x):
+            x = norm.apply({"params": params["final_norm"]}, x)
+            return int4_apply(x, lm_q4)
+
+    elif config.quantize:
         from multimodal_embeddings_tpu.kernels.quantization import (
             QTensor,
             int8_apply,

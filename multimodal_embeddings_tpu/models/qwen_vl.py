@@ -86,12 +86,13 @@ class QwenVLConfig:
     text: QwenTextConfig = dataclasses.field(default_factory=QwenTextConfig)
     image_pad_id: int = 151655  # <|image_pad|>
     eos_id: int = 151645  # <|im_end|>
-    # int8 weight-only serving for the decoder Dense kernels + lm_head
-    # (models/quantized.py) — the TPU-native counterpart of the notebook's
-    # bitsandbytes 4-bit (32B) / 8-bit (7B) loads, cell ``39512aca``. The
-    # vision tower (~0.7B) stays bf16: it is <3% of 32B-scale parameters
-    # and its window-attention access patterns gain nothing from int8.
-    quantize: bool = False
+    # weight-only quantized serving for the decoder Dense kernels + lm_head
+    # (models/quantized.py): False | True/"int8" | "int4" — the TPU-native
+    # counterpart of the notebook's bitsandbytes 4-bit (32B) / 8-bit (7B)
+    # loads, cell ``39512aca``. The vision tower (~0.7B) stays bf16: it is
+    # <3% of 32B-scale parameters and its window-attention access patterns
+    # gain nothing from quantized storage.
+    quantize: Any = False
 
     @classmethod
     def qwen25_vl_7b(cls) -> "QwenVLConfig":
@@ -132,6 +133,17 @@ class QwenVLConfig:
     @classmethod
     def qwen25_vl_32b_int8(cls) -> "QwenVLConfig":
         return dataclasses.replace(cls.qwen25_vl_32b(), quantize=True)
+
+    @classmethod
+    def qwen25_vl_32b_int4(cls) -> "QwenVLConfig":
+        """The notebook's literal flagship storage class: 32B at 4-bit
+        (cell ``39512aca``, ``BitsAndBytesConfig(load_in_4bit=True)``).
+        Packed int4 (``kernels/quantization_int4.py``) halves int8's
+        decoder bytes: ~31.2B dense decoder params → ~15.6GB packed +
+        group scales (~0.5GB at G=128) → **2 PP stages** ≈ 8GB
+        weights/stage + vision (1.3GB bf16, stage 0) + embed/lm_head
+        (int4) + KV cache ≈ 11GB/chip peak, vs int8's 4 stages."""
+        return dataclasses.replace(cls.qwen25_vl_32b(), quantize="int4")
 
     @classmethod
     def tiny(cls) -> "QwenVLConfig":
@@ -373,24 +385,27 @@ class QwenVisionTower(nn.Module):
 class QwenBlock(nn.Module):
     """Qwen2 decoder block: RMSNorm + GQA attention (QKV bias) + SwiGLU.
 
-    ``quantize=True`` stores every Dense kernel int8 with per-channel f32
-    scales (``models/quantized.py``), the TPU-native counterpart of the
-    notebook's 4/8-bit bitsandbytes serving (cell ``39512aca``)."""
+    ``quantize=True``/``"int8"`` stores every Dense kernel int8 with
+    per-channel f32 scales; ``"int4"`` stores packed group-wise int4
+    (``models/quantized.py``) — the TPU-native counterparts of the
+    notebook's 8-bit (7B) and 4-bit (32B) bitsandbytes serving
+    (cell ``39512aca``)."""
 
     config: QwenTextConfig
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(self, x, cos, sin, mask=None, cache=None, position=None):
         cfg = self.config
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
+            qcls = quant_dense_cls(self.quantize)
             dense = lambda feat, name, axes, bias=True, ax=-1: (  # noqa: E731
-                Int8DenseGeneral(
+                qcls(
                     features=feat, axis=ax, use_bias=bias, dtype=self.dtype,
                     name=name,
                 )
@@ -474,10 +489,10 @@ class QwenVLModel(nn.Module):
         self.final_norm = RMSNorm(dtype=self.dtype, name="final_norm")
         if cfg.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
-            self.lm_head = Int8DenseGeneral(
+            self.lm_head = quant_dense_cls(cfg.quantize)(
                 features=cfg.text.vocab_size, dtype=self.dtype, name="lm_head"
             )
         else:

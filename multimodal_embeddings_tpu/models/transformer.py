@@ -309,7 +309,7 @@ class Attention(nn.Module):
     rope_theta: float = 500000.0
     max_len: int = 4096
     dtype: Any = jnp.float32
-    quantize: bool = False  # int8 weight storage (serving; models/quantized.py)
+    quantize: Any = False  # False | True/"int8" | "int4" (serving; models/quantized.py)
 
     @nn.compact
     def __call__(
@@ -327,10 +327,11 @@ class Attention(nn.Module):
         kvh = self.num_kv_heads or self.num_heads
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
-            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+            qcls = quant_dense_cls(self.quantize)
+            dense = lambda feat, name, axes: qcls(  # noqa: E731
                 features=feat, axis=-1, dtype=self.dtype, name=name
             )
         else:
@@ -404,10 +405,10 @@ class Attention(nn.Module):
     def _out_proj(self, x, out):
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
-            return Int8DenseGeneral(
+            return quant_dense_cls(self.quantize)(
                 features=x.shape[-1], axis=(-2, -1), dtype=self.dtype, name="o"
             )(out)
         return nn.DenseGeneral(
@@ -425,16 +426,17 @@ class Attention(nn.Module):
 class SwiGLU(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(self, x):
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
-            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+            qcls = quant_dense_cls(self.quantize)
+            dense = lambda feat, name, axes: qcls(  # noqa: E731
                 features=feat, dtype=self.dtype, name=name
             )
         else:
@@ -453,7 +455,7 @@ class SwiGLU(nn.Module):
 class GeluMLP(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(self, x, pre_ln: Optional[tuple] = None):
@@ -482,10 +484,11 @@ class GeluMLP(nn.Module):
             )(h)
         if self.quantize:
             from multimodal_embeddings_tpu.models.quantized import (
-                Int8DenseGeneral,
+                quant_dense_cls,
             )
 
-            dense = lambda feat, name, axes: Int8DenseGeneral(  # noqa: E731
+            qcls = quant_dense_cls(self.quantize)
+            dense = lambda feat, name, axes: qcls(  # noqa: E731
                 features=feat, use_bias=True, dtype=self.dtype, name=name
             )
         else:
@@ -515,7 +518,7 @@ class EncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
     fuse_ln: Any = False  # False | True | "attn" | "mlp"
 
     @nn.compact
@@ -568,7 +571,7 @@ class GatedEncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(
@@ -609,7 +612,7 @@ class LlamaBlock(nn.Module):
     max_len: int = 4096
     rope_theta: float = 500000.0
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -642,7 +645,7 @@ class CrossAttentionBlock(nn.Module):
     head_dim: int
     mlp_hidden: int
     dtype: Any = jnp.float32
-    quantize: bool = False
+    quantize: Any = False  # False | True/"int8" | "int4"
 
     @nn.compact
     def __call__(
