@@ -100,12 +100,14 @@ def encoder_attention(
     Returns (B, L, H, D) in q's dtype.
     """
     b, l, h, d = q.shape
+    dv = v.shape[3]  # Dv ≠ Dk supported (the detector's PSA attention
+    # runs q/k at half the value width, v10 ratio 0.5)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     if heads_per_block is None:
-        # budget VMEM: in+out blocks (4 tensors × hpb·L·D·2B, double-
-        # buffered) + ~2 (L, L) f32/bf16 intermediates; cap blocks at ~6MB
-        per_head = 4 * 2 * l * d * 2
+        # budget VMEM: in+out blocks (q, k: hpb·L·D; v, o: hpb·L·Dv,
+        # double-buffered) + ~2 (L, L) f32/bf16 intermediates; cap ~6MB
+        per_head = 2 * 2 * l * (d + dv) * 2
         hpb = max(1, min(h, int(6e6 // max(per_head, 1))))
         while h % hpb:
             hpb -= 1
@@ -116,7 +118,14 @@ def encoder_attention(
     # (B, L, H, D) → (B*H, L, D): D stays minor (full-lane rows), heads
     # become leading blocks so the kernel indexes them as major rows
     def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, l, x.shape[3])
+
+    def spec(depth):
+        return pl.BlockSpec(
+            (heads_per_block, l, depth),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     grid = (b * h // heads_per_block,)
     out = pl.pallas_call(
@@ -127,18 +136,9 @@ def encoder_attention(
             valid_len=valid_len,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (heads_per_block, l, d),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        * 3,
-        out_specs=pl.BlockSpec(
-            (heads_per_block, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+        in_specs=[spec(d), spec(d), spec(dv)],
+        out_specs=spec(dv),
+        out_shape=jax.ShapeDtypeStruct((b * h, l, dv), q.dtype),
         interpret=interpret,
     )(to_bh(q), to_bh(k), to_bh(v))
-    return out.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, l, dv).transpose(0, 2, 1, 3)

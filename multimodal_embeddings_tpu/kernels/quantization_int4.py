@@ -127,7 +127,9 @@ def _mm4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_g: int):
     part = jnp.dot(
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
-    acc_ref[...] += part * s_ref[...].astype(jnp.float32)
+    # scale arrives (1, 1, block_n): 3-D so its (sublane, lane) block dims
+    # satisfy Mosaic's (8, 128)-divisible-or-full rule for every group count
+    acc_ref[...] += part * s_ref[0].astype(jnp.float32)
 
     @pl.when(gb == n_g - 1)
     def _store():
@@ -159,7 +161,10 @@ def int4_matmul(
     block_m = min(block_m, max(8, 1 << (m - 1).bit_length()))
     xp = _pad_to(x, 0, block_m)
     pp = _pad_to(packed, 1, block_n)
-    sp = _pad_to(scale, 1, block_n)
+    # (n_groups, 1, N): a (1, 1, block_n) block's trailing two dims are
+    # (1, block_n) with the sublane dim FULL — Mosaic rejects (1, block_n)
+    # blocks of a 2-D (n_groups, N) array when n_groups > 1
+    sp = _pad_to(scale, 1, block_n).reshape(n_groups, 1, -1)
     mp = xp.shape[0]
     np_ = pp.shape[1]
 
@@ -169,7 +174,7 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((block_m, g), lambda i, j, gb: (i, gb)),
             pl.BlockSpec((g // 2, block_n), lambda i, j, gb: (gb, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, gb: (gb, j)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, gb: (gb, 0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, gb: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),

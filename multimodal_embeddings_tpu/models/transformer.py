@@ -88,17 +88,19 @@ _ENC_ATTN_MIN_LEN = 256
 _ENC_ATTN_MAX_LEN = 1664
 
 
-def _enc_attn_eligible(q, k, mask, causal) -> bool:
+def _enc_attn_eligible(q, k, v, mask, causal) -> bool:
     if not _enc_attn_kernel_enabled():
         return False
     if causal or mask is not None:
         return False
     if q.shape[1] != k.shape[1] or q.shape[2] != k.shape[2]:
         return False  # self-attention, no GQA broadcast
+    if v.shape[:3] != q.shape[:3]:
+        return False  # kernel handles Dv ≠ Dk, but batch/len/heads must match
     l = q.shape[1]
     if not (_ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN) or l % 16:
         return False
-    if q.shape[3] > 128:
+    if q.shape[3] > 128 or v.shape[3] > 128:
         return False
     return _on_tpu_backend()
 
@@ -236,7 +238,7 @@ def sdpa(
         )
 
         return flash_attention(q, k, v, causal=causal)
-    if _enc_attn_eligible(q, k, mask, causal):
+    if _enc_attn_eligible(q, k, v, mask, causal):
         from multimodal_embeddings_tpu.kernels.encoder_attention import (
             encoder_attention,
         )

@@ -3,8 +3,12 @@
 Replaces ChromaDB/hnswlib (``db_operations.py:17-61``). At this corpus
 scale (~20 pages, 10³-10⁵ regions) an *exact* brute-force cosine top-k as a
 single matmul + ``top_k`` on TPU strictly dominates an approximate HNSW
-walk on CPU, so the reference's HNSW parameters (M=32, ef=200) are recorded
-as collection metadata only. Distances returned are **cosine distances**
+walk on CPU, so exact retrieval is the default. For corpora where the
+O(n·d) scan stops being free, ``index="hnsw"`` opts into the in-repo
+native graph index (``native/hnsw.cpp``, the hnswlib-equivalent
+algorithm) built with the reference's HNSW parameters (M=32, ef=200 —
+``db_operations.py:28-33``), which otherwise remain collection metadata.
+Distances returned are **cosine distances**
 (1 − cosine similarity), matching what the reference reads back from
 Chroma (``weighted_region_clustering.py:224``).
 
@@ -71,7 +75,13 @@ def _matches(meta: Dict[str, Any], where: Optional[Dict[str, Any]]) -> bool:
 class Collection:
     """One named embedding collection with exact cosine retrieval."""
 
-    def __init__(self, path: str, name: str, metadata: Optional[Dict] = None):
+    def __init__(
+        self,
+        path: str,
+        name: str,
+        metadata: Optional[Dict] = None,
+        index: str = "exact",
+    ):
         self.path = os.path.join(path, name)
         self.name = name
         self.metadata = dict(metadata or HNSW_COMPAT_METADATA)
@@ -83,6 +93,14 @@ class Collection:
         self._device_cache = None
         self._mesh = None  # opt-in corpus sharding (set_mesh)
         self._mesh_axis = "data"
+        # retrieval mode: "exact" (default — matmul+top-k, the measured
+        # winner at reference corpus scale) or "hnsw" (native graph index,
+        # native/hnsw.cpp, built with this collection's hnsw:* metadata —
+        # O(log n) walks for corpora where the O(n·d) scan stops being free)
+        assert index in ("exact", "hnsw"), index
+        self._index_mode = index
+        self._hnsw = None
+        self._hnsw_rows = 0  # corpus rows already inserted into the index
         self._load()
 
     def set_mesh(self, mesh, axis_name: str = "data") -> None:
@@ -188,6 +206,11 @@ class Collection:
                     idx = self._id_index[item_id]
                     self._embeddings[idx] = emb
                     self._metadatas[idx] = dict(metadatas[i])
+                    if idx < self._hnsw_rows:
+                        # in-place vector change invalidates the graph —
+                        # rebuild lazily at the next hnsw query
+                        self._hnsw = None
+                        self._hnsw_rows = 0
                 else:
                     self._id_index[item_id] = len(self._ids) + len(new_rows)
                     new_rows.append((item_id, emb, dict(metadatas[i])))
@@ -214,7 +237,45 @@ class Collection:
             self._metadatas = [self._metadatas[n] for n in keep]
             self._id_index = {i: n for n, i in enumerate(self._ids)}
             self._device_cache = None
+            self._hnsw = None  # row renumbering — rebuild lazily
+            self._hnsw_rows = 0
             self.persist()
+
+    def set_index(self, mode: str) -> None:
+        """Switch retrieval between ``"exact"`` and ``"hnsw"``."""
+        assert mode in ("exact", "hnsw"), mode
+        with self._lock:
+            self._index_mode = mode
+
+    def _sync_hnsw(self):
+        """Build/extend the native graph index to cover the corpus (call
+        under the lock). Returns the index, or None if the native library
+        is unavailable (caller falls back to exact retrieval)."""
+        from multimodal_embeddings_tpu.utils.native import HnswIndex
+
+        n = len(self._ids)
+        if self._hnsw is None:
+            try:
+                self._hnsw = HnswIndex(
+                    int(self._embeddings.shape[1]),
+                    m=int(self.metadata.get("hnsw:M", 32)),
+                    ef_construction=int(
+                        self.metadata.get("hnsw:construction_ef", 200)
+                    ),
+                    seed=0,
+                )
+            except RuntimeError as exc:
+                logger.warning(
+                    "hnsw index unavailable (%s) — falling back to exact "
+                    "retrieval", exc,
+                )
+                self._index_mode = "exact"
+                return None
+            self._hnsw_rows = 0
+        if self._hnsw_rows < n:
+            self._hnsw.add(self._embeddings[self._hnsw_rows : n])
+            self._hnsw_rows = n
+        return self._hnsw
 
     # -- reads --------------------------------------------------------------
 
@@ -281,8 +342,11 @@ class Collection:
         where: Optional[Dict] = None,
         include: Sequence[str] = ("metadatas", "distances"),
     ) -> Dict[str, Any]:
-        """Exact cosine top-k on device: one fused matmul + mask + top_k for
-        the whole query batch (replaces per-query HNSW walks)."""
+        """Cosine top-k. Default ("exact"): one fused matmul + mask + top_k
+        on device for the whole query batch (replaces per-query HNSW
+        walks). ``index="hnsw"`` collections walk the native graph index
+        (``native/hnsw.cpp``) instead — approximate, built with this
+        collection's ``hnsw:*`` metadata parameters."""
         import jax
         import jax.numpy as jnp
 
@@ -291,6 +355,10 @@ class Collection:
             if n == 0:
                 empty = [[] for _ in query_embeddings]
                 return {"ids": empty, "distances": empty, "metadatas": empty}
+            if self._index_mode == "hnsw" and self._sync_hnsw() is not None:
+                return self._query_hnsw(
+                    query_embeddings, n_results, where, include
+                )
             corpus = self._device_embeddings()
             mask = np.fromiter(
                 (_matches(m, where) for m in self._metadatas), bool, count=n
@@ -329,6 +397,54 @@ class Collection:
                 out["embeddings"] = [
                     [self._embeddings[j].tolist() for j in row] for row in top_idx
                 ]
+        return out
+
+    def _query_hnsw(
+        self,
+        query_embeddings,
+        n_results: int,
+        where: Optional[Dict],
+        include: Sequence[str],
+    ) -> Dict[str, Any]:
+        """Native-graph retrieval path (called under the lock with the
+        index synced). Same response shape as the exact path; rows with
+        fewer than ``n_results`` filter matches return short lists, like
+        the exact path's k clamping."""
+        n = len(self._ids)
+        q = np.asarray(query_embeddings, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        mask = None
+        if where:
+            mask = np.fromiter(
+                (_matches(m, where) for m in self._metadatas),
+                np.uint8,
+                count=n,
+            )
+        k = min(n_results, n if mask is None else int(mask.sum()))
+        if k == 0:
+            empty = [[] for _ in range(q.shape[0])]
+            return {"ids": empty, "distances": empty, "metadatas": empty}
+        ef = max(int(self.metadata.get("hnsw:search_ef", 200)), k)
+        idx, dist = self._hnsw.search(q, k=k, ef=ef, mask=mask)
+        # -1 padding (fewer than k matches reachable) sits at the tail
+        rows = [[int(j) for j in row if j >= 0] for row in idx]
+        out: Dict[str, Any] = {
+            "ids": [[self._ids[j] for j in row] for row in rows]
+        }
+        if "distances" in include:
+            out["distances"] = [
+                [float(dist[i][p]) for p in range(len(row))]
+                for i, row in enumerate(rows)
+            ]
+        if "metadatas" in include:
+            out["metadatas"] = [
+                [self._metadatas[j] for j in row] for row in rows
+            ]
+        if "embeddings" in include:
+            out["embeddings"] = [
+                [self._embeddings[j].tolist() for j in row] for row in rows
+            ]
         return out
 
 
@@ -484,10 +600,12 @@ class Client:
         self._collections: Dict[str, Collection] = {}
 
     def get_or_create_collection(
-        self, name: str, metadata: Optional[Dict] = None
+        self, name: str, metadata: Optional[Dict] = None, index: str = "exact"
     ) -> Collection:
         if name not in self._collections:
-            self._collections[name] = Collection(self.path, name, metadata)
+            self._collections[name] = Collection(
+                self.path, name, metadata, index=index
+            )
         return self._collections[name]
 
     def delete_collection(self, name: str) -> None:
@@ -508,12 +626,18 @@ class Client:
 
 
 def initialize_db(
-    path: str = "db", collection_name: str = DEFAULT_COLLECTION
+    path: str = "db",
+    collection_name: str = DEFAULT_COLLECTION,
+    index: str = "exact",
 ) -> Tuple[Client, Collection]:
-    """Reference-shaped entry point (``db_operations.py:17-61``)."""
+    """Reference-shaped entry point (``db_operations.py:17-61``).
+
+    ``index="hnsw"`` opts into the native graph index (``native/hnsw.cpp``)
+    built with the collection's ``hnsw:*`` metadata — the reference's
+    actual hnswlib configuration — instead of the default exact retrieval."""
     client = Client(path)
     collection = client.get_or_create_collection(
-        collection_name, metadata=HNSW_COMPAT_METADATA
+        collection_name, metadata=HNSW_COMPAT_METADATA, index=index
     )
     logger.info(
         "store ready at %s, collection %r (%d items)",

@@ -84,6 +84,21 @@ def load() -> Optional[ctypes.CDLL]:
         c_double_p, ctypes.c_int64, c_double_p, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, c_u8_p,
     ]
+    lib.hnsw_new.restype = ctypes.c_void_p
+    lib.hnsw_new.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.hnsw_free.restype = None
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_size.restype = ctypes.c_int64
+    lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_add.restype = None
+    lib.hnsw_add.argtypes = [ctypes.c_void_p, c_float_p, ctypes.c_int64]
+    lib.hnsw_search.restype = ctypes.c_int64
+    lib.hnsw_search.argtypes = [
+        ctypes.c_void_p, c_float_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, c_u8_p, c_i64_p, c_float_p,
+    ]
     _lib = lib
     logger.info("native host kernels loaded from %s", _LIB_PATH)
     return _lib
@@ -182,3 +197,81 @@ def internal_edge_mask_native(
         _ptr(out, ctypes.c_uint8),
     )
     return out.astype(bool)
+
+
+class HnswIndex:
+    """Native HNSW index over cosine space (``native/hnsw.cpp``) — the
+    in-repo equivalent of the reference's hnswlib dependency
+    (``deprecated_package/db_operations.py:28-33``: space=cosine, M=32,
+    ef_construction=200, ef=200). Labels are insertion order (the store
+    maps them to ids). Raises RuntimeError if the native library is
+    unavailable — callers decide their fallback (the store falls back to
+    its exact matmul+top-k path).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 32,
+        ef_construction: int = 200,
+        seed: int = 0,
+    ):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable (no compiler?)")
+        self._lib = lib
+        self.dim = int(dim)
+        self._handle = ctypes.c_void_p(
+            lib.hnsw_new(self.dim, int(m), int(ef_construction), int(seed))
+        )
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        handle = getattr(self, "_handle", None)
+        if handle:
+            try:
+                self._lib.hnsw_free(handle)
+            except Exception:  # noqa: BLE001
+                pass
+            self._handle = None
+
+    def __len__(self) -> int:
+        return int(self._lib.hnsw_size(self._handle))
+
+    def add(self, vectors: np.ndarray) -> None:
+        """Append rows (n, dim); normalized into the index (cosine)."""
+        vecs = np.ascontiguousarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        assert vecs.shape[1] == self.dim, vecs.shape
+        self._lib.hnsw_add(
+            self._handle, _ptr(vecs, ctypes.c_float), vecs.shape[0]
+        )
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int = 200,
+        mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Filtered k-NN: returns (indices, cosine distances), each
+        (nq, k); missing results are (-1, inf) padded (fewer than k nodes
+        matching the mask)."""
+        q = np.ascontiguousarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        assert q.shape[1] == self.dim, q.shape
+        nq = q.shape[0]
+        idx = np.empty((nq, k), np.int64)
+        dist = np.empty((nq, k), np.float32)
+        mask_ptr = None
+        if mask is not None:
+            mask = np.ascontiguousarray(mask, np.uint8)
+            assert mask.shape[0] == len(self), (mask.shape, len(self))
+            mask_ptr = _ptr(mask, ctypes.c_uint8)
+        self._lib.hnsw_search(
+            self._handle, _ptr(q, ctypes.c_float), nq, int(k),
+            int(max(ef, k)), mask_ptr, _ptr(idx, ctypes.c_int64),
+            _ptr(dist, ctypes.c_float),
+        )
+        return idx, dist

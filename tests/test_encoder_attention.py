@@ -79,6 +79,21 @@ class TestEncoderAttention:
             np.asarray(got), np.asarray(base), atol=1e-6
         )
 
+    def test_dv_wider_than_dk(self):
+        """Dv ≠ Dk — the detector's PSA attention runs q/k at half the
+        value width (models/layers.py:394, v10 attn_ratio 0.5)."""
+        rng = np.random.default_rng(7)
+        b, l, h, dk, dv = 2, 64, 4, 32, 64
+        q = jnp.asarray(rng.normal(size=(b, l, h, dk)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, l, h, dk)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, l, h, dv)).astype(np.float32))
+        got = encoder_attention(q, k, v, interpret=True)
+        assert got.shape == (b, l, h, dv)
+        want = ref_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
     def test_vit_b_shape_smoke(self):
         """The headline serving shape (scaled down in batch)."""
         q, k, v = self._qkv(b=1, l=784, h=12, d=64, dtype=jnp.bfloat16)

@@ -259,3 +259,87 @@ class TestShardedQuery:
         ws, wi = jax.lax.top_k(jnp.asarray(sims), 6)
         np.testing.assert_allclose(np.asarray(s), np.asarray(ws), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
+
+
+class TestHnswCollection:
+    """``index="hnsw"`` collections walk the native graph index
+    (native/hnsw.cpp) instead of the exact matmul+top-k; response shape
+    and semantics match the exact path."""
+
+    @pytest.fixture()
+    def hnsw_collection(self, tmp_path):
+        from multimodal_embeddings_tpu.utils import native
+
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        _, col = initialize_db(str(tmp_path / "db"), index="hnsw")
+        return col
+
+    def _fill(self, col, n=300, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        col.upsert(
+            ids=[f"r{i}" for i in range(n)],
+            embeddings=emb,
+            metadatas=[
+                {"region_type": "text" if i % 2 else "picture"}
+                for i in range(n)
+            ],
+        )
+        return emb
+
+    def test_matches_exact_results(self, hnsw_collection, tmp_path):
+        emb = self._fill(hnsw_collection)
+        _, exact = initialize_db(str(tmp_path / "db2"))
+        self._fill(exact)
+        got = hnsw_collection.query(query_embeddings=[emb[7]], n_results=5)
+        want = exact.query(query_embeddings=[emb[7]], n_results=5)
+        # top hit is the vector itself; full top-5 agreement at this scale
+        assert got["ids"][0] == want["ids"][0]
+        np.testing.assert_allclose(
+            got["distances"][0], want["distances"][0], atol=1e-5
+        )
+        assert got["metadatas"][0][0] == {"region_type": "text"}
+
+    def test_where_filter(self, hnsw_collection):
+        emb = self._fill(hnsw_collection)
+        got = hnsw_collection.query(
+            query_embeddings=[emb[3]],
+            n_results=4,
+            where={"region_type": "picture"},
+        )
+        assert all(
+            m["region_type"] == "picture" for m in got["metadatas"][0]
+        )
+        assert len(got["ids"][0]) == 4
+
+    def test_update_invalidates_index(self, hnsw_collection):
+        emb = self._fill(hnsw_collection, n=100)
+        hnsw_collection.query(query_embeddings=[emb[0]], n_results=1)
+        # overwrite row 5's vector with row 0's direction — the graph
+        # rebuild must pick the new vector up
+        hnsw_collection.upsert(
+            ids=["r5"], embeddings=[emb[0]], metadatas=[{"region_type": "x"}]
+        )
+        got = hnsw_collection.query(query_embeddings=[emb[0]], n_results=2)
+        assert set(got["ids"][0]) == {"r0", "r5"}
+
+    def test_incremental_add_after_query(self, hnsw_collection):
+        emb = self._fill(hnsw_collection, n=100)
+        hnsw_collection.query(query_embeddings=[emb[0]], n_results=1)
+        rng = np.random.default_rng(9)
+        new = rng.normal(size=(1, 16)).astype(np.float32)
+        new /= np.linalg.norm(new)
+        hnsw_collection.upsert(
+            ids=["fresh"], embeddings=new, metadatas=[{"region_type": "t"}]
+        )
+        got = hnsw_collection.query(query_embeddings=[new[0]], n_results=1)
+        assert got["ids"][0] == ["fresh"]
+
+    def test_delete_renumbers(self, hnsw_collection):
+        emb = self._fill(hnsw_collection, n=60)
+        hnsw_collection.query(query_embeddings=[emb[0]], n_results=1)
+        hnsw_collection.delete(ids=["r0"])
+        got = hnsw_collection.query(query_embeddings=[emb[1]], n_results=1)
+        assert got["ids"][0] == ["r1"]
