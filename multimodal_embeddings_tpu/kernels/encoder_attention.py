@@ -142,3 +142,28 @@ def encoder_attention(
         interpret=interpret,
     )(to_bh(q), to_bh(k), to_bh(v))
     return out.reshape(b, h, l, dv).transpose(0, 2, 1, 3)
+
+
+def encoder_attention_padded(
+    q: jnp.ndarray,  # (B, L, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # (B, L, H, Dv)
+    valid_len: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Prefix-masked attention at lengths that aren't sublane-aligned.
+
+    Pads L up to the next multiple of 16 (bf16 sublane tile), runs the
+    kernel with ``valid_len`` masking the padded + invalid keys, and
+    slices the pad rows back off — the Mllama vision tower's
+    1601-of-1608 sequence lands at L=1608 (≡ 8 mod 16) and takes this
+    path (``models/mme5.py`` single-tile serving dispatch).
+    """
+    l = q.shape[1]
+    assert 0 < valid_len <= l, (valid_len, l)
+    lp = -(-l // 16) * 16
+    if lp != l:
+        pad = ((0, 0), (0, lp - l), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = encoder_attention(q, k, v, valid_len=valid_len, interpret=interpret)
+    return out[:, :l] if lp != l else out

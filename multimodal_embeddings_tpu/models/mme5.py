@@ -255,6 +255,7 @@ class MllamaVisionEncoder(nn.Module):
         images: jnp.ndarray,  # (B, T, S, S, 3) normalized tiles
         aspect_ratio_ids: jnp.ndarray,  # (B,) int
         tile_mask: jnp.ndarray,  # (B, T) 1 = real tile
+        all_tiles_real: bool = False,  # STATIC: caller guarantees tile_mask==1
     ):
         """→ (vision_states (B, T*(1+P), out_dim), token_mask (B, T*(1+P)))."""
         cfg = self.config
@@ -310,13 +311,17 @@ class MllamaVisionEncoder(nn.Module):
         pos_valid = (jnp.arange(padded) < seq)[None, None, :]  # (1, 1, Lp)
         key_valid = (tile_mask[:, :, None].astype(bool) & pos_valid).reshape(b, -1)
         attn_mask = key_valid[:, None, None, :]  # (B, 1, 1, T*Lp)
-        # NOTE: for t == 1 the key mask is a per-batch valid prefix and
-        # could route to the flash kernel via sdpa(kv_lengths=...) — the
-        # kernel wins standalone at this shape (7.4 vs 9.2 ms, B8 H16
-        # L1608 D80) but LOSES in the fused embed program (0.55 vs 0.63
-        # pages/sec measured round 2): XLA fuses the (B,L,H,D)
-        # head-transposes into the projections, while the kernel's
-        # boundary relayouts stay materialized. Keep the XLA masked path.
+        key_valid_len = None
+        if all_tiles_real and t == 1:
+            # the key mask is then the STATIC prefix `< seq` (1601-of-1608)
+            # shared by every batch row — express it as sdpa(key_valid_len=)
+            # so the whole-row encoder-attention kernel can take it on TPU
+            # (47% faster than the XLA masked pass standalone at this
+            # shape; behind MMTPU_ENC_ATTN until the in-model A/B lands).
+            # The round-2 flash(kv_lengths=...) route lost in-model (0.55
+            # vs 0.63 p/s — boundary relayouts); this kernel is a
+            # different structure, measured separately.
+            attn_mask, key_valid_len = None, seq
         x = x.reshape(b, t * padded, cfg.width)
 
         intermediates = []
@@ -333,7 +338,7 @@ class MllamaVisionEncoder(nn.Module):
                 quantize=self.quantize,
                 fuse_ln=cfg.fuse_ln,
                 name=f"local{i}",
-            )(x, mask=attn_mask)
+            )(x, mask=attn_mask, key_valid_len=key_valid_len)
         x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
         x = x.reshape(b, t, padded, cfg.width)
         x = TilePositionalEmbedding(
@@ -350,7 +355,7 @@ class MllamaVisionEncoder(nn.Module):
                 dtype=self.dtype,
                 quantize=self.quantize,
                 name=f"global{i}",
-            )(x, mask=attn_mask)
+            )(x, mask=attn_mask, key_valid_len=key_valid_len)
 
         # HF concatenates [final, stack(intermediates, -1).reshape(.., -1)]:
         # the intermediate block is CHANNEL-INTERLEAVED (index = c*n_int + l),
@@ -475,6 +480,10 @@ class MmE5Embedder(nn.Module):
             if aspect_ratio_ids is None:
                 # id 1 = the (1,1) single-tile arrangement
                 aspect_ratio_ids = jnp.ones((b,), jnp.int32)
+            # a caller that passes no tile_mask asserts every tile is real
+            # (the fused single-tile serving path) — a STATIC fact the
+            # vision tower turns into prefix-masked kernel attention
+            all_tiles_real = tile_mask is None
             if tile_mask is None:
                 tile_mask = jnp.ones((b, t), jnp.int32)
             else:
@@ -483,7 +492,8 @@ class MmE5Embedder(nn.Module):
                     f"carry {t}"
                 )
             vision_states, vision_mask = self.vision_model(
-                images, aspect_ratio_ids, tile_mask
+                images, aspect_ratio_ids, tile_mask,
+                all_tiles_real=all_tiles_real,
             )
         hidden = self.text_model(
             token_ids, attention_mask, vision_states, vision_mask

@@ -88,7 +88,7 @@ _ENC_ATTN_MIN_LEN = 256
 _ENC_ATTN_MAX_LEN = 1664
 
 
-def _enc_attn_eligible(q, k, v, mask, causal) -> bool:
+def _enc_attn_eligible(q, k, v, mask, causal, pad_to_16: bool = False) -> bool:
     if not _enc_attn_kernel_enabled():
         return False
     if causal or mask is not None:
@@ -98,6 +98,8 @@ def _enc_attn_eligible(q, k, v, mask, causal) -> bool:
     if v.shape[:3] != q.shape[:3]:
         return False  # kernel handles Dv ≠ Dk, but batch/len/heads must match
     l = q.shape[1]
+    if pad_to_16:
+        l = -(-l // 16) * 16  # the prefix-masked dispatch pads to sublanes
     if not (_ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN) or l % 16:
         return False
     if q.shape[3] > 128 or v.shape[3] > 128:
@@ -203,6 +205,7 @@ def sdpa(
     mask: Optional[jnp.ndarray] = None,  # (B, 1, Lq, Lk) additive or bool
     causal: bool = False,
     kv_lengths: Optional[jnp.ndarray] = None,  # (B,) valid K prefix lengths
+    key_valid_len: Optional[int] = None,  # STATIC shared valid K prefix
 ) -> jnp.ndarray:
     """Scaled dot-product attention with GQA head-broadcast; f32 softmax.
 
@@ -212,8 +215,29 @@ def sdpa(
     mask (mutually exclusive with ``mask``): on TPU at ≥2048 tokens it
     dispatches to the flash kernel's native length masking; elsewhere it
     falls back to an equivalent boolean mask on the XLA path (test-locked
-    equality).
+    equality). ``key_valid_len`` is the STATIC analogue — every batch row
+    shares the same valid prefix (the Mllama single-tile 1601-of-1608
+    pattern): at encoder scale it dispatches to the whole-row kernel's
+    native prefix masking (padding L to sublanes), else it lowers to the
+    same boolean mask.
     """
+    if key_valid_len is not None:
+        assert mask is None and kv_lengths is None and not causal, (
+            "key_valid_len is mutually exclusive with mask/kv_lengths/causal"
+        )
+        if key_valid_len >= k.shape[1]:
+            key_valid_len = None  # nothing masked — plain unmasked path
+        elif _enc_attn_eligible(q, k, v, None, False, pad_to_16=True):
+            from multimodal_embeddings_tpu.kernels.encoder_attention import (
+                encoder_attention_padded,
+            )
+
+            return encoder_attention_padded(q, k, v, valid_len=key_valid_len)
+        else:
+            mask = (
+                jnp.arange(k.shape[1]) < key_valid_len
+            )[None, None, None, :]
+            key_valid_len = None
     if kv_lengths is not None:
         assert mask is None, "kv_lengths and mask are mutually exclusive"
         if (
@@ -321,10 +345,13 @@ class Attention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
         kv_lengths: Optional[jnp.ndarray] = None,
+        key_valid_len: Optional[int] = None,  # static shared valid K prefix
         pre_ln: Optional[tuple] = None,  # (scale, bias, mode) fused prologue
     ):
         if pre_ln is not None and kv is None and not self.quantize:
-            return self._fused_prologue(x, mask, causal, kv_lengths, pre_ln)
+            return self._fused_prologue(
+                x, mask, causal, kv_lengths, pre_ln, key_valid_len
+            )
         kv = x if kv is None else kv
         kvh = self.num_kv_heads or self.num_heads
         if self.quantize:
@@ -357,10 +384,15 @@ class Attention(nn.Module):
             cos, sin = rope_frequencies(self.head_dim, self.max_len, self.rope_theta)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        out = sdpa(q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths)
+        out = sdpa(
+            q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths,
+            key_valid_len=key_valid_len,
+        )
         return self._out_proj(x, out)
 
-    def _fused_prologue(self, x, mask, causal, kv_lengths, pre_ln):
+    def _fused_prologue(
+        self, x, mask, causal, kv_lengths, pre_ln, key_valid_len=None
+    ):
         """Self-attention with the pre-LN fused into the q/k/v projections
         as ONE LayerNorm→matmul Pallas kernel over the concatenated
         [Wq|Wk|Wv] (kernels/ln_matmul.py). Param tree identical to the
@@ -401,7 +433,10 @@ class Attention(nn.Module):
             cos, sin = rope_frequencies(self.head_dim, self.max_len, self.rope_theta)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        out = sdpa(q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths)
+        out = sdpa(
+            q, k, v, mask=mask, causal=causal, kv_lengths=kv_lengths,
+            key_valid_len=key_valid_len,
+        )
         return self._out_proj(x, out)
 
     def _out_proj(self, x, out):
@@ -529,6 +564,7 @@ class EncoderBlock(nn.Module):
         x,
         mask: Optional[jnp.ndarray] = None,
         kv_lengths: Optional[jnp.ndarray] = None,
+        key_valid_len: Optional[int] = None,
     ):
         d = x.shape[-1]
         mode = _ln_fuse_mode() if self.fuse_ln and not self.quantize else None
@@ -551,11 +587,15 @@ class EncoderBlock(nn.Module):
         if fuse_attn:
             scale1, bias1 = _LNParams(d, name="ln1")()
             h = attn(
-                x, mask=mask, kv_lengths=kv_lengths, pre_ln=(scale1, bias1, mode)
+                x, mask=mask, kv_lengths=kv_lengths,
+                key_valid_len=key_valid_len, pre_ln=(scale1, bias1, mode),
             )
         else:
             h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-            h = attn(h, mask=mask, kv_lengths=kv_lengths)
+            h = attn(
+                h, mask=mask, kv_lengths=kv_lengths,
+                key_valid_len=key_valid_len,
+            )
         x = x + h
         if fuse_mlp:
             scale2, bias2 = _LNParams(d, name="ln2")()
@@ -581,6 +621,7 @@ class GatedEncoderBlock(nn.Module):
         x,
         mask: Optional[jnp.ndarray] = None,
         kv_lengths: Optional[jnp.ndarray] = None,
+        key_valid_len: Optional[int] = None,
     ):
         d = x.shape[-1]
         gate_attn = self.param("gate_attn", nn.initializers.zeros, (1,))
@@ -592,7 +633,7 @@ class GatedEncoderBlock(nn.Module):
             dtype=self.dtype,
             quantize=self.quantize,
             name="attn",
-        )(h, mask=mask, kv_lengths=kv_lengths)
+        )(h, mask=mask, kv_lengths=kv_lengths, key_valid_len=key_valid_len)
         x = x + jnp.tanh(gate_attn) * h
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = GeluMLP(

@@ -102,3 +102,46 @@ class TestEncoderAttention:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want), atol=4e-2
         )
+
+
+class TestPaddedDispatch:
+    """encoder_attention_padded: sublane-unaligned L with a static valid
+    prefix (the Mllama 1601-of-1608 single-tile shape, scaled down)."""
+
+    def test_matches_masked_reference(self):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_padded,
+        )
+
+        rng = np.random.default_rng(11)
+        b, l, h, d, valid = 2, 40, 4, 32, 33  # l % 16 != 0
+        mk = lambda: jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        got = encoder_attention_padded(q, k, v, valid_len=valid, interpret=True)
+        assert got.shape == (b, l, h, d)
+        want = ref_attention(q, k, v, valid_len=valid)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+    def test_sdpa_key_valid_len_fallback_equals_mask(self):
+        """On non-TPU backends sdpa(key_valid_len=) lowers to the same
+        boolean prefix mask — locked against the explicit-mask path."""
+        from multimodal_embeddings_tpu.models.transformer import sdpa
+
+        rng = np.random.default_rng(12)
+        b, l, h, d, valid = 2, 24, 2, 16, 17
+        mk = lambda: jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        got = sdpa(q, k, v, key_valid_len=valid)
+        mask = (jnp.arange(l) < valid)[None, None, None, :]
+        want = sdpa(q, k, v, mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+        # valid == L → plain unmasked path
+        got_full = sdpa(q, k, v, key_valid_len=l)
+        want_full = sdpa(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got_full), np.asarray(want_full), atol=1e-6
+        )

@@ -322,3 +322,34 @@ def test_short_stack_matches_padded_stack():
     np.testing.assert_allclose(
         np.asarray(short), np.asarray(padded), atol=2e-5
     )
+
+
+def test_static_prefix_attention_matches_masked_path():
+    """A 4-D image call (no tile_mask → all tiles real, t=1) routes the
+    vision attention through sdpa(key_valid_len=seq) — on CPU that lowers
+    to the same boolean prefix mask, so the output must match the
+    explicit all-ones tile_mask call (which keeps the traced key mask)
+    exactly (models/mme5.py single-tile serving dispatch)."""
+    config = MllamaConfig.tiny()
+    model = MmE5Embedder(config)
+    rng = np.random.default_rng(5)
+    s = config.vision.image_size
+    single = rng.normal(size=(2, s, s, 3)).astype(np.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(1), ids, mask, jnp.asarray(single)
+    )
+    import flax.linen as fnn
+
+    variables = fnn.unbox(variables)
+    # static-prefix path (tile_mask=None)
+    got = model.apply(variables, ids, mask, jnp.asarray(single))
+    # traced-mask path (explicit all-ones tile_mask over the 1-tile stack)
+    want = model.apply(
+        variables, ids, mask, jnp.asarray(single[:, None]),
+        jnp.ones((2,), jnp.int32), jnp.ones((2, 1), jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-6
+    )
