@@ -84,6 +84,7 @@ def view_slice_bounds_for_page(
 def _make_detect_crop(
     detector: LayoutDetector, page_hw, num_regions, emb_size,
     letterbox: bool = False,
+    edge_filter: bool = True,
 ):
     """Shared traced section: page → views → batched detect → page-coord
     NMS → top-K boxes → on-device region crops. Returned fn is meant to be
@@ -92,7 +93,12 @@ def _make_detect_crop(
     ``letterbox=True`` swaps the serving path's aspect-squeeze view resize
     for the exact CLI path's aspect-preserving letterbox (measured choice —
     ``scripts/serve_parity.py`` quantifies both against the stage-1..3
-    pipeline)."""
+    pipeline). ``edge_filter=True`` (default) applies the stage-2
+    internal-edge predicate per view before the cross-view NMS — the exact
+    chain drops grid-cell boxes within 10 px of an internal cell edge
+    (``2_edge_box_filter.py:44-90``) and skipping it was a measured
+    contributor to serve-vs-exact disagreement; the full-page view has no
+    internal edges, so the predicate no-ops there."""
     height, width = page_hw
     view_bounds = view_slice_bounds_for_page(
         width, height, detector.config.grid_configs, detector.config.overlap_percentage
@@ -174,8 +180,26 @@ def _make_detect_crop(
         py1 = boxes[..., 1] * sy[:, None] + oy[:, None]
         px2 = boxes[..., 2] * sx[:, None] + ox[:, None]
         py2 = boxes[..., 3] * sy[:, None] + oy[:, None]
-        page_boxes = jnp.stack([px1, py1, px2, py2], axis=-1).reshape(-1, 4)
-        flat_scores = jnp.where(det.valid, det.scores, -1.0).reshape(-1)
+        view_page_boxes = jnp.stack([px1, py1, px2, py2], axis=-1)  # (V, M, 4)
+        valid = det.valid
+        if edge_filter:
+            # stage-2 internal-edge filter, one predicate per (view, box):
+            # drop boxes within threshold px of a cell edge that is not the
+            # page edge (2_edge_box_filter.py:44-90; exact semantics in
+            # ops/edge_filter.py, here over the static view rectangles)
+            from multimodal_embeddings_tpu.ops.edge_filter import (
+                internal_edge_mask,
+            )
+
+            touching = internal_edge_mask(
+                view_page_boxes,
+                jnp.asarray(vb),
+                jnp.asarray([float(width), float(height)], jnp.float32),
+                threshold=10.0,
+            )
+            valid = valid & ~touching
+        page_boxes = view_page_boxes.reshape(-1, 4)
+        flat_scores = jnp.where(valid, det.scores, -1.0).reshape(-1)
         flat_classes = det.classes.reshape(-1)
 
         # cross-view dedup: the same physical region is detected in several
@@ -223,6 +247,7 @@ def build_fused_detect_fn(
     num_regions: int = 48,
     emb_size: int = 448,
     letterbox: bool = False,
+    edge_filter: bool = True,
     closure_weights: bool = False,
 ):
     """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
@@ -236,7 +261,8 @@ def build_fused_detect_fn(
     constants. Safe only for small trees (large ones stall the remote
     compiler's HLO serialization — advisor r2 / CLAUDE.md)."""
     detect_and_crop = _make_detect_crop(
-        detector, page_hw, num_regions, emb_size, letterbox=letterbox
+        detector, page_hw, num_regions, emb_size, letterbox=letterbox,
+        edge_filter=edge_filter,
     )
     det_vars = _device_vars(detector.variables)
     if closure_weights:
@@ -271,6 +297,7 @@ def build_fused_page_fn(
     num_regions: int = 48,
     embed_chunk: int = 0,
     letterbox: bool = False,
+    edge_filter: bool = True,
     embed_tiles: int = 1,
     closure_weights: bool = False,
     auto_layouts: bool = False,
@@ -297,7 +324,8 @@ def build_fused_page_fn(
         raise ValueError("embed_tiles=4 requires the tiled mme5 family")
     crop_size = emb_size * (2 if embed_tiles == 4 else 1)
     detect_and_crop = _make_detect_crop(
-        detector, page_hw, num_regions, crop_size, letterbox=letterbox
+        detector, page_hw, num_regions, crop_size, letterbox=letterbox,
+        edge_filter=edge_filter,
     )
 
     if family == "mme5":
@@ -449,6 +477,7 @@ def build_split_page_fn(
     num_regions: int = 48,
     embed_chunk: int = 8,
     letterbox: bool = False,
+    edge_filter: bool = True,
     embed_tiles: int = 1,
     closure_weights: bool = True,
     embed_closure: bool = False,
@@ -489,7 +518,7 @@ def build_split_page_fn(
     # regression"); the big embedder tree always rides as an argument
     detect_fn = build_fused_detect_fn(
         detector, page_hw, num_regions, crop_size, letterbox=letterbox,
-        closure_weights=closure_weights,
+        edge_filter=edge_filter, closure_weights=closure_weights,
     )
 
     emb_model = embedder.model
@@ -592,6 +621,7 @@ def build_fused_batch_fn(
     num_regions: int = 48,
     mesh=None,
     letterbox: bool = False,
+    edge_filter: bool = True,
 ):
     """Multi-page variant: vmap the fused page function over a page batch,
     optionally sharding the batch over the mesh's data axis (the multi-chip
@@ -608,7 +638,8 @@ def build_fused_batch_fn(
     from multimodal_embeddings_tpu.core.mesh import DATA_AXIS
 
     page_fn = build_fused_page_fn(
-        detector, embedder, page_hw, num_regions, letterbox=letterbox
+        detector, embedder, page_hw, num_regions, letterbox=letterbox,
+        edge_filter=edge_filter,
     )
     # vmap the 3-arg fused body over the page axis only — variables stay
     # broadcast jit ARGUMENTS (uploaded once, never inlined into the HLO)
@@ -651,6 +682,7 @@ def build_split_batch_fn(
     num_regions: int = 48,
     embed_chunk: int = 8,
     letterbox: bool = False,
+    edge_filter: bool = True,
     mesh=None,
 ):
     """Data-parallel variant of the two-program split: a page BATCH runs
@@ -677,7 +709,8 @@ def build_split_batch_fn(
     emb_size = embedder.image_size
 
     detect2 = _make_detect_crop(
-        detector, page_hw, num_regions, emb_size, letterbox=letterbox
+        detector, page_hw, num_regions, emb_size, letterbox=letterbox,
+        edge_filter=edge_filter,
     )
     det_vars_dev = _device_vars(detector.variables)
     emb_model = embedder.model

@@ -159,10 +159,14 @@ def main() -> None:
 
     # --- (b) serve path, both resize variants ----------------------------
     results = {}
-    for variant, letterbox in (("squeeze", False), ("letterbox", True)):
+    for variant, letterbox, edge_filter in (
+        ("squeeze", False, True),
+        ("letterbox", True, True),
+        ("letterbox_noedge", True, False),  # pre-r3 serving semantics
+    ):
         fn = build_fused_detect_fn(
             detector, page_hw, num_regions=num_regions, emb_size=64,
-            letterbox=letterbox,
+            letterbox=letterbox, edge_filter=edge_filter,
         )
         rows = []
         for i, page in enumerate(pages):
@@ -207,6 +211,7 @@ def main() -> None:
         "exact_chain_seconds": round(exact_s, 1),
         "squeeze": results["squeeze"],
         "letterbox": results["letterbox"],
+        "letterbox_noedge": results["letterbox_noedge"],
         "measured": time.strftime("%Y-%m-%d"),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

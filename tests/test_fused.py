@@ -480,11 +480,18 @@ class TestServeParity:
             run_edge_filter_stage,
         )
 
+        # the serve_parity.py reduced config: at the 128px micro scale the
+        # agreement sample is ~9 boxes and the ordering is noise (it
+        # inverted when the r3 edge filter changed which candidates
+        # survive); 256px/2-grid gives 24 matched boxes per page and the
+        # decisive measured relationship (letterbox 0.92 vs squeeze 0.67
+        # precision on this page — SERVE_PARITY.json)
         cfg = DetectorConfig(
-            image_size=128, variant="n", grid_configs=((2, 2),), max_detections=32
+            image_size=256, variant="n", grid_configs=((2, 2), (3, 3)),
+            max_detections=64,
         )
         detector = LayoutDetector(cfg, dtype=jnp.float32)
-        page_hw = (400, 300)
+        page_hw = (800, 600)
         page = make_page(*page_hw, seed=0)
 
         src = tmp_path / "src"
@@ -510,7 +517,7 @@ class TestServeParity:
         metrics = {}
         for name, lb in (("squeeze", False), ("letterbox", True)):
             fn = build_fused_detect_fn(
-                detector, page_hw, num_regions=16, emb_size=32, letterbox=lb
+                detector, page_hw, num_regions=24, emb_size=32, letterbox=lb
             )
             boxes, scores, classes, valid, _ = fn(jnp.asarray(page))
             v = np.asarray(valid)
@@ -523,13 +530,14 @@ class TestServeParity:
             metrics[name] = (p, r, miou)
 
         # letterbox must not be worse than squeeze on any metric (the
-        # representative-scale measurement is SERVE_PARITY.json: letterbox
-        # 0.69/0.84 vs squeeze 0.39/0.68 precision/mIoU); floors here are
-        # the deterministic values of this reduced config minus margin
+        # representative measurement is SERVE_PARITY.json: with the r3
+        # edge filter, letterbox 0.90/0.84 vs squeeze 0.63/0.68
+        # precision/mIoU); floors are this page's deterministic values
+        # minus margin
         assert metrics["letterbox"][0] >= metrics["squeeze"][0] - 0.01, metrics
         assert metrics["letterbox"][2] >= metrics["squeeze"][2] - 0.01, metrics
-        assert metrics["letterbox"][0] >= 0.15, metrics
-        assert metrics["letterbox"][2] >= 0.55, metrics
+        assert metrics["letterbox"][0] >= 0.80, metrics
+        assert metrics["letterbox"][2] >= 0.75, metrics
 
 
 class TestSingleTileSplit:
@@ -569,3 +577,62 @@ class TestSingleTileSplit:
         out = fn(jnp.asarray(page))
         assert out.embeddings.shape[0] == 4
         assert np.all(np.isfinite(np.asarray(out.embeddings)))
+
+
+class TestEdgeFilter:
+    """Stage-2 internal-edge semantics inside the fused serving path
+    (2_edge_box_filter.py:44-90; quantified in SERVE_PARITY.json —
+    letterbox+edge precision 0.90 vs 0.69 without the filter)."""
+
+    def test_edge_filter_active_and_consistent(self):
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_fused_detect_fn,
+        )
+        from multimodal_embeddings_tpu.ops.edge_filter import (
+            internal_edge_mask_np,
+        )
+
+        detector = LayoutDetector(
+            DetectorConfig(
+                image_size=128, variant="n", grid_configs=((2, 2),),
+                max_detections=64,
+            ),
+            dtype=jnp.float32,
+        )
+        page_hw = (400, 300)
+        rng = np.random.default_rng(3)
+        page = rng.integers(0, 255, (400, 300, 3), np.uint8)
+        fn_on = build_fused_detect_fn(
+            detector, page_hw, num_regions=16, emb_size=32, edge_filter=True
+        )
+        fn_off = build_fused_detect_fn(
+            detector, page_hw, num_regions=16, emb_size=32, edge_filter=False
+        )
+        b_on, s_on, _, v_on, _ = fn_on(jnp.asarray(page))
+        b_off, s_off, _, v_off, _ = fn_off(jnp.asarray(page))
+        on = np.asarray(b_on, np.float64)[np.asarray(v_on)]
+        off = np.asarray(b_off, np.float64)[np.asarray(v_off)]
+        # the filter only ever REMOVES candidates: the kept score mass
+        # cannot exceed the unfiltered run's
+        assert np.asarray(s_on)[np.asarray(v_on)].sum() <= (
+            np.asarray(s_off)[np.asarray(v_off)].sum() + 1e-5
+        )
+        # every surviving box clears the predicate for the FULL-PAGE view
+        # (no internal edges there — the reference never filters stage-1
+        # whole-page detections)
+        full = internal_edge_mask_np(
+            on, (0.0, 0.0, 300.0, 400.0), 300.0, 400.0, 10.0
+        )
+        assert not full.any()
+
+    def test_default_is_on(self):
+        import inspect
+        from multimodal_embeddings_tpu.pipeline import fused
+
+        for name in (
+            "build_fused_detect_fn", "build_fused_page_fn",
+            "build_split_page_fn", "build_fused_batch_fn",
+            "build_split_batch_fn",
+        ):
+            sig = inspect.signature(getattr(fused, name))
+            assert sig.parameters["edge_filter"].default is True, name
