@@ -39,49 +39,73 @@ NEG_INF = -1e30
 def _enc_attn_kernel(
     q_ref,  # (H, L, D)
     k_ref,  # (H, L, D)
-    v_ref,  # (H, L, D)
-    o_ref,  # (H, L, D)
+    v_ref,  # (H, L, Dv)
+    o_ref,  # (H, L, Dv)
     *,
     sm_scale: float,
     heads: int,
     valid_len: Optional[int],
+    row_block: Optional[int],
 ):
     l = q_ref.shape[1]
     # bf16 inputs → bf16 MXU dots with f32 accumulation (an f32 upcast
     # before the dot would force the 4×-slower f32 MXU path)
     mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    # row blocking: softmax is per-row, so q-row chunks are EXACT (no
+    # online rescaling) — required when the whole (L, L) f32 scores +
+    # bf16 exp (~6·L² bytes) would blow the ~16MB scoped VMEM (the
+    # Mllama 1616-token shape OOM'd whole-row: 15.7MB of intermediates
+    # on top of the head blocks)
+    rb = row_block or l
+    n_rb = -(-l // rb)
 
     def head_body(h, _):
-        q = q_ref[h].astype(mxu_dtype)  # (L, D)
-        k = k_ref[h].astype(mxu_dtype)
-        v = v_ref[h].astype(mxu_dtype)
-        # NT contraction: scores[i, j] = q_i · k_j, f32 accumulate
-        scores = (
-            jax.lax.dot_general(
-                q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        k = k_ref[h].astype(mxu_dtype)  # (L, D)
+        v = v_ref[h].astype(mxu_dtype)  # (L, Dv)
+
+        def row_body(i, _):
+            # all chunks are rb rows; the last one is shifted back so it
+            # stays in-bounds (overlapping rows recompute identical
+            # values — idempotent store, offsets stay 16-aligned)
+            start = jnp.minimum(i * rb, l - rb)
+            q = jax.lax.dynamic_slice_in_dim(q_ref[h], start, rb, 0).astype(
+                mxu_dtype
+            )  # (rb, D)
+            # NT contraction: scores[i, j] = q_i · k_j, f32 accumulate
+            scores = (
+                jax.lax.dot_general(
+                    q,
+                    k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * sm_scale
+            )  # (rb, L) f32, VMEM-resident
+            if valid_len is not None and valid_len < l:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (rb, l), 1)
+                scores = jnp.where(cols < valid_len, scores, NEG_INF)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)  # f32 (rb, 1)
+            o = jnp.dot(
+                e.astype(mxu_dtype), v, preferred_element_type=jnp.float32
             )
-            * sm_scale
-        )  # (L, L) f32, VMEM-resident
-        if valid_len is not None and valid_len < l:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
-            scores = jnp.where(cols < valid_len, scores, NEG_INF)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=1, keepdims=True)  # f32 (L, 1)
-        o = jnp.dot(
-            e.astype(mxu_dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[h] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+            o_ref[h, pl.ds(start, rb), :] = (
+                o / jnp.maximum(denom, 1e-30)
+            ).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_rb, row_body, 0)
         return 0
 
     jax.lax.fori_loop(0, heads, head_body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "valid_len", "heads_per_block", "interpret")
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "valid_len", "heads_per_block", "row_block", "interpret"
+    ),
 )
 def encoder_attention(
     q: jnp.ndarray,  # (B, L, H, D)
@@ -90,6 +114,7 @@ def encoder_attention(
     sm_scale: Optional[float] = None,
     valid_len: Optional[int] = None,
     heads_per_block: Optional[int] = None,
+    row_block: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole-row single-pass attention for short unmasked encoder shapes.
@@ -104,11 +129,24 @@ def encoder_attention(
     # runs q/k at half the value width, v10 ratio 0.5)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    if row_block is None:
+        # whole-row while the (L, L) f32 scores + bf16 exp (~6 B/elem)
+        # fit an ~8MB share of the 16MB scoped VMEM; beyond that, chunk
+        # q rows (16-aligned for the bf16 sublane tile; exact — softmax
+        # is per-row). The 1616-token Mllama shape lands at rb=608.
+        if l * l * 6 > 8e6:
+            row_block = max(16, int(6e6 // (l * 6)) // 16 * 16)
+    if row_block is not None and row_block >= l:
+        row_block = None  # degenerate chunking → whole-row
+    rb_eff = row_block or l
     if heads_per_block is None:
-        # budget VMEM: in+out blocks (q, k: hpb·L·D; v, o: hpb·L·Dv,
-        # double-buffered) + ~2 (L, L) f32/bf16 intermediates; cap ~6MB
+        # budget VMEM: ~6·rb·L intermediates + in+out blocks (q, k:
+        # hpb·L·D; v, o: hpb·L·Dv, double-buffered) within ~13MB of the
+        # 16MB scoped limit (the whole-row 1616 shape measured 17.46MB
+        # at hpb=2 when the intermediates went unbudgeted)
+        inter = 6 * rb_eff * l
         per_head = 2 * 2 * l * (d + dv) * 2
-        hpb = max(1, min(h, int(6e6 // max(per_head, 1))))
+        hpb = max(1, min(h, int((13e6 - inter) // max(per_head, 1))))
         while h % hpb:
             hpb -= 1
         heads_per_block = hpb
@@ -134,6 +172,7 @@ def encoder_attention(
             sm_scale=sm_scale,
             heads=heads_per_block,
             valid_len=valid_len,
+            row_block=row_block,
         ),
         grid=grid,
         in_specs=[spec(d), spec(d), spec(dv)],

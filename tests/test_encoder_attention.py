@@ -145,3 +145,50 @@ class TestPaddedDispatch:
         np.testing.assert_allclose(
             np.asarray(got_full), np.asarray(want_full), atol=1e-6
         )
+
+
+class TestRowBlocking:
+    """Row-chunked score computation (VMEM fix for L≈1616 where whole-row
+    (L,L) intermediates exceed the 16MB scoped budget). Per-row softmax
+    makes chunking exact — locked against whole-row."""
+
+    @pytest.mark.parametrize("rb", [16, 32, 48])
+    def test_matches_whole_row(self, rb):
+        rng = np.random.default_rng(21)
+        b, l, h, d = 2, 96, 4, 32  # 96 % 32 != 0 exercises the shifted tail
+        mk = lambda: jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention(q, k, v, row_block=rb, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=1e-6
+        )
+
+    def test_with_valid_len(self):
+        rng = np.random.default_rng(22)
+        b, l, h, d = 1, 64, 2, 16
+        mk = lambda: jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        base = encoder_attention(q, k, v, valid_len=50, interpret=True)
+        got = encoder_attention(
+            q, k, v, valid_len=50, row_block=32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=1e-6
+        )
+
+    def test_auto_row_block_on_long_sequences(self):
+        """The Mllama padded shape (1616) must auto-pick a 16-aligned
+        row block that keeps intermediates + blocks inside scoped VMEM."""
+        from multimodal_embeddings_tpu.kernels import encoder_attention as ea
+
+        # replicate the heuristic at l=1616
+        l = 1616
+        rb = max(16, int(6e6 // (l * 6)) // 16 * 16)
+        assert rb % 16 == 0 and rb < l
+        inter = 6 * rb * l
+        per_head = 2 * 2 * l * (80 + 80) * 2
+        hpb = max(1, int((13e6 - inter) // per_head))
+        assert inter + hpb * per_head <= 15e6  # inside the 16MB limit
+        # and the whole-row 784 ViT shape stays un-chunked
+        assert 784 * 784 * 6 <= 8e6
