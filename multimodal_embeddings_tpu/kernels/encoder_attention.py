@@ -63,14 +63,13 @@ def _enc_attn_kernel(
         k = k_ref[h].astype(mxu_dtype)  # (L, D)
         v = v_ref[h].astype(mxu_dtype)  # (L, Dv)
 
-        def row_body(i, _):
-            # all chunks are rb rows; the last one is shifted back so it
-            # stays in-bounds (overlapping rows recompute identical
-            # values — idempotent store, offsets stay 16-aligned)
-            start = jnp.minimum(i * rb, l - rb)
-            q = jax.lax.dynamic_slice_in_dim(q_ref[h], start, rb, 0).astype(
-                mxu_dtype
-            )  # (rb, D)
+        # STATIC unrolled row chunks (n_rb is a trace-time constant, ~3 at
+        # the Mllama shape): every offset is a compile-time literal —
+        # no dynamic-offset stores for Mosaic to reject. All chunks are rb
+        # rows; the last one is shifted back in-bounds (overlapping rows
+        # recompute identical values — idempotent store).
+        for start in sorted({min(i * rb, l - rb) for i in range(n_rb)}):
+            q = q_ref[h, start : start + rb, :].astype(mxu_dtype)  # (rb, D)
             # NT contraction: scores[i, j] = q_i · k_j, f32 accumulate
             scores = (
                 jax.lax.dot_general(
@@ -90,12 +89,9 @@ def _enc_attn_kernel(
             o = jnp.dot(
                 e.astype(mxu_dtype), v, preferred_element_type=jnp.float32
             )
-            o_ref[h, pl.ds(start, rb), :] = (
+            o_ref[h, start : start + rb, :] = (
                 o / jnp.maximum(denom, 1e-30)
             ).astype(o_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, n_rb, row_body, 0)
         return 0
 
     jax.lax.fori_loop(0, heads, head_body, 0)
