@@ -125,23 +125,27 @@ def encoder_attention(
     # runs q/k at half the value width, v10 ratio 0.5)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    # intermediate bytes/elem: f32 scores + exp in the MXU dtype (bf16
+    # inputs cast the exp operand down; f32 inputs keep it f32 — 8 B/elem)
+    ib = 6 if q.dtype == jnp.bfloat16 else 8
     if row_block is None:
-        # whole-row while the (L, L) f32 scores + bf16 exp (~6 B/elem)
-        # fit an ~8MB share of the 16MB scoped VMEM; beyond that, chunk
-        # q rows (16-aligned for the bf16 sublane tile; exact — softmax
-        # is per-row). The 1616-token Mllama shape lands at rb=608.
-        if l * l * 6 > 8e6:
-            row_block = max(16, int(6e6 // (l * 6)) // 16 * 16)
+        # whole-row while the (L, L) scores + exp fit an ~8MB share of
+        # the 16MB scoped VMEM; beyond that, chunk q rows (16-aligned for
+        # the bf16 sublane tile; exact — softmax is per-row). The
+        # 1616-token bf16 Mllama shape lands at rb=608.
+        if l * l * ib > 8e6:
+            row_block = max(16, int(6e6 // (l * ib)) // 16 * 16)
     if row_block is not None and row_block >= l:
         row_block = None  # degenerate chunking → whole-row
     rb_eff = row_block or l
     if heads_per_block is None:
-        # budget VMEM: ~6·rb·L intermediates + in+out blocks (q, k:
+        # budget VMEM: ~ib·rb·L intermediates + in+out blocks (q, k:
         # hpb·L·D; v, o: hpb·L·Dv, double-buffered) within ~13MB of the
         # 16MB scoped limit (the whole-row 1616 shape measured 17.46MB
         # at hpb=2 when the intermediates went unbudgeted)
-        inter = 6 * rb_eff * l
-        per_head = 2 * 2 * l * (d + dv) * 2
+        inter = ib * rb_eff * l
+        elem = q.dtype.itemsize
+        per_head = 2 * 2 * l * (d + dv) * elem
         hpb = max(1, min(h, int((13e6 - inter) // max(per_head, 1))))
         while h % hpb:
             hpb -= 1

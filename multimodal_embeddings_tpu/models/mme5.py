@@ -315,12 +315,13 @@ class MllamaVisionEncoder(nn.Module):
         if all_tiles_real and t == 1:
             # the key mask is then the STATIC prefix `< seq` (1601-of-1608)
             # shared by every batch row — express it as sdpa(key_valid_len=)
-            # so the whole-row encoder-attention kernel can take it on TPU
+            # so the row-blocked encoder-attention kernel takes it on TPU
             # (47% faster than the XLA masked pass standalone at this
-            # shape; behind MMTPU_ENC_ATTN until the in-model A/B lands).
-            # The round-2 flash(kv_lengths=...) route lost in-model (0.55
-            # vs 0.63 p/s — boundary relayouts); this kernel is a
-            # different structure, measured separately.
+            # shape; kernel dispatch is DEFAULT ON since the chain-10/11
+            # in-model win, MMTPU_ENC_ATTN=0 opts out). The round-2
+            # flash(kv_lengths=...) route lost in-model (0.55 vs 0.63 p/s
+            # — boundary relayouts); this kernel is a different structure,
+            # measured separately.
             attn_mask, key_valid_len = None, seq
         x = x.reshape(b, t * padded, cfg.width)
 

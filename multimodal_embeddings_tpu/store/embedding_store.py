@@ -204,13 +204,16 @@ class Collection:
                     continue
                 if item_id in self._id_index:
                     idx = self._id_index[item_id]
-                    self._embeddings[idx] = emb
-                    self._metadatas[idx] = dict(metadatas[i])
-                    if idx < self._hnsw_rows:
-                        # in-place vector change invalidates the graph —
-                        # rebuild lazily at the next hnsw query
+                    if idx < self._hnsw_rows and not np.array_equal(
+                        self._embeddings[idx], emb
+                    ):
+                        # in-place VECTOR change invalidates the graph —
+                        # rebuild lazily; metadata-only re-upserts (the
+                        # idempotent re-run flow) keep the index
                         self._hnsw = None
                         self._hnsw_rows = 0
+                    self._embeddings[idx] = emb
+                    self._metadatas[idx] = dict(metadatas[i])
                 else:
                     self._id_index[item_id] = len(self._ids) + len(new_rows)
                     new_rows.append((item_id, emb, dict(metadatas[i])))
@@ -224,6 +227,11 @@ class Collection:
                 self._ids.extend(r[0] for r in new_rows)
                 self._metadatas.extend(r[2] for r in new_rows)
             self._device_cache = None
+            if self._index_mode == "hnsw":
+                # amortize index construction across ingest batches so the
+                # first query after a large ingest doesn't pay one giant
+                # single-threaded build under the lock
+                self._sync_hnsw()
             self.persist()
 
     def delete(self, ids: Sequence[str]) -> None:

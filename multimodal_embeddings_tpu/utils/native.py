@@ -59,6 +59,34 @@ def load() -> Optional[ctypes.CDLL]:
     except OSError as exc:
         logger.warning("failed to load native library: %s", exc)
         return None
+    # a .so built before hnsw.cpp existed lacks the hnsw_* symbols —
+    # rebuild once rather than raising AttributeError out of a function
+    # documented to return Optional (every native consumer falls back on
+    # None)
+    if not hasattr(lib, "hnsw_new"):
+        logger.info("native library predates hnsw symbols — rebuilding")
+        del lib
+        if not _try_build():
+            return None
+        # dlopen caches by path: re-opening _LIB_PATH would return the
+        # stale image already mapped above — load the rebuilt library
+        # through a fresh temp copy instead
+        import shutil
+        import tempfile
+
+        try:
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".so", delete=False
+            )
+            tmp.close()
+            shutil.copy2(_LIB_PATH, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
+        except OSError as exc:  # pragma: no cover - racing builds
+            logger.warning("failed to reload native library: %s", exc)
+            return None
+        if not hasattr(lib, "hnsw_new"):
+            logger.warning("rebuilt native library still lacks hnsw symbols")
+            return None
 
     c_double_p = ctypes.POINTER(ctypes.c_double)
     c_float_p = ctypes.POINTER(ctypes.c_float)

@@ -214,6 +214,10 @@ extern "C" {
 void* hnsw_new(int64_t dim, int m, int ef_construction, uint64_t seed) {
   auto* ix = new HnswIndex();
   ix->dim = dim;
+  // m < 2 would make level_mult = 1/log(m) inf/NaN (undefined int cast in
+  // random_level) — clamp to the smallest navigable degree
+  if (m < 2) m = 2;
+  if (ef_construction < 1) ef_construction = 1;
   ix->m = m;
   ix->m0 = 2 * m;
   ix->ef_construction = ef_construction;
