@@ -40,6 +40,7 @@ from multimodal_embeddings_tpu.models.transformer import (
     Attention,
     CrossAttentionBlock,
     EncoderBlock,
+    FastLayerNorm,
     GatedEncoderBlock,
     LlamaBlock,
     RMSNorm,
@@ -301,7 +302,7 @@ class MllamaVisionEncoder(nn.Module):
             seq,
             name="gated_pos_embed",
         )(x, aspect_ratio_ids)
-        x = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(x)
+        x = FastLayerNorm(dtype=self.dtype, name="pre_ln")(x)
 
         # pad each tile's sequence to a multiple of 8 (HF does the same;
         # also the TPU-friendly shape), flatten tiles into one sequence,
@@ -340,7 +341,7 @@ class MllamaVisionEncoder(nn.Module):
                 fuse_ln=cfg.fuse_ln,
                 name=f"local{i}",
             )(x, mask=attn_mask, key_valid_len=key_valid_len)
-        x = nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
+        x = FastLayerNorm(dtype=self.dtype, name="post_ln")(x)
         x = x.reshape(b, t, padded, cfg.width)
         x = TilePositionalEmbedding(
             cfg.max_tiles,

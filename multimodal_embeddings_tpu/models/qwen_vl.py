@@ -38,6 +38,7 @@ from multimodal_embeddings_tpu.models.transformer import (
     KV_HEADS,
     MLP,
     VOCAB,
+    FastLayerNorm,
     GeluMLP,
     RMSNorm,
     SwiGLU,
@@ -346,7 +347,7 @@ class QwenVisionTower(nn.Module):
         if cfg.window_size is not None:
             win = max(1, cfg.window_size // cfg.patch_size)
         for i in range(cfg.layers):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(x)
+            h = FastLayerNorm(dtype=self.dtype, name=f"ln1_{i}")(x)
             qkv = nn.DenseGeneral(
                 (3, cfg.heads, head_dim),
                 axis=-1,
@@ -369,9 +370,9 @@ class QwenVisionTower(nn.Module):
                 cfg.width, axis=(-2, -1), dtype=self.dtype, name=f"proj_{i}"
             )(attn)
             x = x + h
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(x)
+            h = FastLayerNorm(dtype=self.dtype, name=f"ln2_{i}")(x)
             x = x + GeluMLP(int(cfg.width * cfg.mlp_ratio), dtype=self.dtype, name=f"mlp_{i}")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
+        x = FastLayerNorm(dtype=self.dtype, name="final_ln")(x)
 
         # 2x2 patch merger → text hidden (Qwen2-VL PatchMerger)
         m = cfg.merge_size

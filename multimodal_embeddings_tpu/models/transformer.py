@@ -179,6 +179,56 @@ def _on_tpu_backend() -> bool:
         return False
 
 
+def _ln_stats_kernel_enabled() -> bool:
+    """Gate for the Pallas LayerNorm-stats kernel (kernels/ln_stats.py).
+    Opt-in via MMTPU_LN_STATS=1 while the in-model A/B is measured: the
+    chain-12 trace shows 27 standalone XLA LN-stats reduces costing
+    27.8 ms/page in the headline embed program (~29GB/s effective — the
+    enc-attn custom-call boundary keeps them from fusing)."""
+    import os
+
+    return os.environ.get("MMTPU_LN_STATS") == "1"
+
+
+class FastLayerNorm(nn.Module):
+    """Drop-in ``nn.LayerNorm`` (param tree identical: {scale, bias})
+    whose row-stats reduce runs as a Pallas kernel on TPU when enabled.
+
+    The normalize+affine stays XLA elementwise math so it fuses into the
+    consumer matmul's prologue exactly as before; only the stats reduce
+    is replaced. The fallback replicates flax's arithmetic (f32
+    reductions, fast-variance formula, result cast to ``dtype``)."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        use_kernel = (
+            _ln_stats_kernel_enabled()
+            and x.ndim == 3
+            and x.shape[1] % 8 == 0
+            and _on_tpu_backend()
+        )
+        xf = x.astype(jnp.float32)
+        if use_kernel:
+            from multimodal_embeddings_tpu.kernels.ln_stats import ln_stats
+
+            mean, rstd = ln_stats(x, eps=self.epsilon)
+        else:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+            )
+            rstd = jax.lax.rsqrt(var + self.epsilon)
+        y = (xf - mean) * (rstd * scale.astype(jnp.float32))
+        y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 def _flash_eligible(q, k, mask, causal) -> bool:
     """Dispatch to the Pallas flash kernel only where it wins: very long
     unmasked self-attention on TPU, where the XLA path's (B, H, L, L) f32
@@ -594,7 +644,7 @@ class EncoderBlock(nn.Module):
                 key_valid_len=key_valid_len, pre_ln=(scale1, bias1, mode),
             )
         else:
-            h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+            h = FastLayerNorm(dtype=self.dtype, name="ln1")(x)
             h = attn(
                 h, mask=mask, kv_lengths=kv_lengths,
                 key_valid_len=key_valid_len,
@@ -604,7 +654,7 @@ class EncoderBlock(nn.Module):
             scale2, bias2 = _LNParams(d, name="ln2")()
             h = mlp(x, pre_ln=(scale2, bias2, mode))
         else:
-            h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+            h = FastLayerNorm(dtype=self.dtype, name="ln2")(x)
             h = mlp(h)
         return x + h
 
@@ -629,7 +679,7 @@ class GatedEncoderBlock(nn.Module):
         d = x.shape[-1]
         gate_attn = self.param("gate_attn", nn.initializers.zeros, (1,))
         gate_ffn = self.param("gate_ffn", nn.initializers.zeros, (1,))
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = FastLayerNorm(dtype=self.dtype, name="ln1")(x)
         h = Attention(
             num_heads=self.num_heads,
             head_dim=d // self.num_heads,
@@ -638,7 +688,7 @@ class GatedEncoderBlock(nn.Module):
             name="attn",
         )(h, mask=mask, kv_lengths=kv_lengths, key_valid_len=key_valid_len)
         x = x + jnp.tanh(gate_attn) * h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = FastLayerNorm(dtype=self.dtype, name="ln2")(x)
         h = GeluMLP(
             int(d * self.mlp_ratio),
             dtype=self.dtype,

@@ -20,6 +20,7 @@ from flax import linen as nn
 from multimodal_embeddings_tpu.models.transformer import (
     EMBED,
     EncoderBlock,
+    FastLayerNorm,
     VOCAB,
     last_token_pool,
 )
@@ -105,7 +106,7 @@ class ViTower(nn.Module):
                 fuse_ln=cfg.fuse_ln,
                 name=f"block{i}",
             )(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
+        x = FastLayerNorm(dtype=self.dtype, name="final_ln")(x)
         # attention-free MAP-style pooling: mean over patches
         pooled = jnp.mean(x, axis=1)
         out = nn.Dense(
@@ -150,7 +151,7 @@ class TextTower(nn.Module):
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, mask=mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
+        x = FastLayerNorm(dtype=self.dtype, name="final_ln")(x)
         pooled = last_token_pool(x.astype(jnp.float32), attention_mask, normalize=False)
         out = nn.Dense(
             self.embed_dim,

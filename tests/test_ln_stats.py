@@ -1,0 +1,78 @@
+"""LayerNorm-stats Pallas kernel + FastLayerNorm drop-in compatibility."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_embeddings_tpu.kernels.ln_stats import ln_stats
+from multimodal_embeddings_tpu.models.transformer import FastLayerNorm
+
+
+class TestLnStatsKernel:
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_f32_reference(self, dtype):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.normal(loc=0.7, scale=2.0, size=(4, 32, 48)).astype(np.float32),
+            dtype,
+        )
+        mean, rstd = ln_stats(x, eps=1e-6, interpret=True)
+        xf = np.asarray(x, np.float32)
+        want_mean = xf.mean(-1, keepdims=True)
+        want_var = np.maximum((xf * xf).mean(-1, keepdims=True) - want_mean**2, 0)
+        np.testing.assert_allclose(np.asarray(mean), want_mean, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rstd), 1.0 / np.sqrt(want_var + 1e-6), rtol=1e-5
+        )
+
+    def test_serving_shape_smoke(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.normal(size=(2, 784, 768)).astype(np.float32), jnp.bfloat16
+        )
+        mean, rstd = ln_stats(x, interpret=True)
+        assert mean.shape == (2, 784, 1) and rstd.shape == (2, 784, 1)
+        assert mean.dtype == jnp.float32
+
+
+class TestFastLayerNorm:
+    """FastLayerNorm must be indistinguishable from nn.LayerNorm off-TPU:
+    same param tree, same outputs (every encoder LN in the model zoo was
+    swapped to it — hf_port maps and checkpoints depend on this)."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_flax_layernorm(self, dtype):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            rng.normal(loc=0.3, scale=1.5, size=(3, 16, 64)).astype(np.float32),
+            dtype,
+        )
+        ref = nn.LayerNorm(dtype=dtype)
+        fast = FastLayerNorm(dtype=dtype)
+        vref = ref.init(jax.random.PRNGKey(0), x)
+        # perturb params so the affine part is exercised
+        vref = jax.tree.map(
+            lambda a: a + jnp.asarray(
+                np.random.default_rng(3).normal(size=a.shape), a.dtype
+            ) * 0.1,
+            vref,
+        )
+        out_ref = ref.apply(vref, x)
+        out_fast = fast.apply(vref, x)  # identical tree: {scale, bias}
+        assert out_fast.dtype == out_ref.dtype
+        np.testing.assert_allclose(
+            np.asarray(out_fast, np.float32),
+            np.asarray(out_ref, np.float32),
+            atol=2e-6 if dtype == jnp.float32 else 1e-2,
+        )
+
+    def test_param_tree_identical(self):
+        x = jnp.zeros((1, 8, 32))
+        vref = nn.LayerNorm().init(jax.random.PRNGKey(0), x)
+        vfast = FastLayerNorm().init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(vref) == jax.tree.structure(vfast)
+        for a, b in zip(jax.tree.leaves(vref), jax.tree.leaves(vfast)):
+            assert a.shape == b.shape and a.dtype == b.dtype
