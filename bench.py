@@ -606,9 +606,16 @@ def main() -> None:
         args.pages = 2  # ~35s/page at 11B; 2 timed pages bound the run
     # A/B runs with non-default experiment flags must not overwrite the
     # canonical BENCH_*.json records (a --fuse-ln loss once clobbered the
-    # default-path BENCH_MME5 number).
+    # default-path BENCH_MME5 number; the chain-13 MMTPU_ENC_ATTN=0
+    # control clobbered it again — env experiments gate recording too).
+    env_experiment = (
+        os.environ.get("MMTPU_ENC_ATTN") == "0"  # kernel-off control
+        or os.environ.get("MMTPU_F32_LOGITS") == "1"
+        or os.environ.get("MMTPU_LN_STATS") == "1"  # opt-in pending A/B
+    )
     args.record = (
-        not args.fuse_ln
+        not env_experiment
+        and not args.fuse_ln
         and args.pallas_convs == DEFAULT_PALLAS_CONVS
         and not args.letterbox
         and args.mme5_chunk is None
@@ -630,17 +637,12 @@ def main() -> None:
 
     last_good_path = os.path.join(here, "BENCH_LAST_GOOD.json")
     # the outage-degradation record applies ONLY to the canonical default
-    # headline config — args.record excludes flag A/Bs, and the env-flag
-    # A/Bs (in-model kernel swaps) must not masquerade as the default
+    # headline config — args.record already excludes flag AND env A/Bs
     default_headline = (
         args.record
         and args.family == "siglip"
         and not args.quick
         and args.closure_weights == DEFAULT_CLOSURE_WEIGHTS
-        and not any(
-            os.environ.get(v) == "1"
-            for v in ("MMTPU_ENC_ATTN", "MMTPU_F32_LOGITS")
-        )
     )
     try:
         info = run_bench(

@@ -207,10 +207,16 @@ class FastLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
+        # VMEM budget: the kernel holds one (L, D) row tile as input dtype
+        # plus f32 upcast + f32 square (~itemsize+8 bytes/elem). The mme5
+        # 1616x1280 shape (~20MB) would overflow the ~16MB scoped budget
+        # (the chain-11 whole-row attention failure mode); gate it out.
+        row_bytes = x.shape[1] * x.shape[2] * (x.dtype.itemsize + 8) if x.ndim == 3 else 0
         use_kernel = (
             _ln_stats_kernel_enabled()
             and x.ndim == 3
             and x.shape[1] % 8 == 0
+            and row_bytes <= 12 * 1024 * 1024
             and _on_tpu_backend()
         )
         xf = x.astype(jnp.float32)
