@@ -92,22 +92,40 @@ def category_summary(stats: List[OpStat]) -> Dict[str, float]:
     return dict(sorted(by_cat.items(), key=lambda kv: -kv[1]))
 
 
-def print_report(trace_dir: str, top: int = 30) -> None:
+def print_report(
+    trace_dir: str, top: int = 30, category: Optional[str] = None
+) -> None:
     stats = aggregate_xla_ops(trace_dir)
     grand = sum(s.total_us for s in stats)
     print(f"device op time: {grand / 1e3:.2f} ms across {len(stats)} distinct ops")
     print("\nby HLO category:")
-    for category, us in category_summary(stats).items():
-        print(f"  {category:<28s} {us / 1e3:9.2f} ms  ({100 * us / grand:4.1f}%)")
-    print(f"\ntop {top} ops:")
+    for cat, us in category_summary(stats).items():
+        print(f"  {cat:<28s} {us / 1e3:9.2f} ms  ({100 * us / grand:4.1f}%)")
+    if category:
+        stats = [
+            s for s in stats if category.lower() in (s.category or "").lower()
+        ]
+        print(f"\ntop {top} ops in category '{category}':")
+    else:
+        print(f"\ntop {top} ops:")
     for stat in stats[:top]:
         print(
             f"  {stat.total_us / 1e3:8.2f} ms  x{stat.count:<4d} "
-            f"[{stat.category or '-':<16s}] {stat.name[:80]}"
+            f"[{stat.category or '-':<16s}] {stat.name[:160]}"
         )
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    print_report(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fused_trace")
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("trace_dir", nargs="?", default="/tmp/fused_trace")
+    parser.add_argument("--top", type=int, default=30)
+    parser.add_argument(
+        "--category",
+        default=None,
+        help="only list ops whose HLO category contains this substring "
+        "(e.g. 'data formatting' to rank the relayout copies)",
+    )
+    args = parser.parse_args()
+    print_report(args.trace_dir, top=args.top, category=args.category)
