@@ -8,11 +8,19 @@ below HBM speed of light. The custom-call boundary around the attention
 kernel keeps XLA from fusing these stats into neighboring ops, so they
 stand alone and pay full-precision conversion + strided-reduce overhead.
 
-This kernel computes per-row mean and rsqrt(var + eps) in one pass: one
-program per batch row, the (L, D) tile upcast in VMEM, lane-dimension
-reduces on the VPU — pure bandwidth. The *normalize* (subtract/scale) is
-deliberately left to XLA, which fuses it into the consumer matmul's
-prologue exactly as it does today; only the stats reduce is replaced.
+This kernel computes per-row mean and rsqrt(var + eps) in one pass over
+a (B, L/rb) grid of row-block programs, each (rb, D) tile upcast in
+VMEM, lane-dimension reduces on the VPU — pure bandwidth. The
+*normalize* (subtract/scale) is deliberately left to XLA, which fuses it
+into the consumer matmul's prologue exactly as it does today; only the
+stats reduce is replaced.
+
+Measured in-model (chain 14): a WASH at the headline ViT-B shape
+(5.77 vs 5.80 p/s) — 27 sites × 48 one-row programs of 1.2MB each pay
+too much per-program overhead for the 24 ms/page they chase. The mme5
+Mllama shape is the real target: its trace shows ~40 LN-stats reduces
+at (8, 1608, 1280) — 33MB/site at ~18GB/s — totalling **35% of mme5
+device time**, and the row-chunked grid (rb=536) amortizes far better.
 
 Replaces the stats half of the torch ``nn.LayerNorm`` inside the
 reference's encoder stacks (``embedder.py:73-83``'s Mllama vision tower
@@ -32,12 +40,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ln_stats_kernel(x_ref, mean_ref, rstd_ref, *, eps: float):
-    x = x_ref[0].astype(jnp.float32)  # (L, D)
-    m = jnp.mean(x, axis=1, keepdims=True)  # (L, 1)
+    x = x_ref[0].astype(jnp.float32)  # (rb, D)
+    m = jnp.mean(x, axis=1, keepdims=True)  # (rb, 1)
     m2 = jnp.mean(x * x, axis=1, keepdims=True)
     var = jnp.maximum(m2 - m * m, 0.0)  # flax use_fast_variance formula
     mean_ref[0] = m
     rstd_ref[0] = jax.lax.rsqrt(var + eps)
+
+
+# per-program VMEM budget for the (rb, D) tile: input dtype bytes + f32
+# upcast + f32 square (conservatively itemsize+8 bytes/element), kept
+# well under the ~16MB scoped limit (the chain-11 lesson).
+_VMEM_TILE_BUDGET = 12 * 1024 * 1024
+
+
+def pick_row_block(l: int, d: int, itemsize: int) -> int:
+    """Largest row-block that divides L, is a multiple of 8 (f32 output
+    sublane tile), and fits the per-program VMEM budget. 0 if none.
+
+    Rows are independent for LayerNorm statistics, so row-chunking is
+    exact — unlike attention, where columns couple through the softmax.
+    The mme5 Mllama shape (1608, 1280) picks rb=536 (6.9MB); the ViT-B
+    (784, 768) shape fits whole (rb=784)."""
+    per_row = d * (itemsize + 8)
+    best = 0
+    for rb in range(8, l + 1, 8):
+        if l % rb == 0 and rb * per_row <= _VMEM_TILE_BUDGET:
+            best = rb
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -46,20 +76,23 @@ def ln_stats(
     eps: float = 1e-6,
     interpret: bool = False,
 ):
-    """→ (mean, rstd), each (B, L, 1) float32. One program per batch row;
-    L must be a multiple of 8 (sublane tile of the f32 outputs)."""
+    """→ (mean, rstd), each (B, L, 1) float32. Grid is (B, L/rb) row
+    blocks; L must be a multiple of 8 (sublane tile of the f32 outputs)
+    and some multiple-of-8 row block must fit VMEM (pick_row_block)."""
     b, l, d = x.shape
     assert l % 8 == 0, l
+    rb = pick_row_block(l, d, x.dtype.itemsize)
+    assert rb, (l, d, x.dtype)
 
     def spec(depth):
         return pl.BlockSpec(
-            (1, l, depth), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rb, depth), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
 
     out_shape = jax.ShapeDtypeStruct((b, l, 1), jnp.float32)
     mean, rstd = pl.pallas_call(
         functools.partial(_ln_stats_kernel, eps=eps),
-        grid=(b,),
+        grid=(b, l // rb),
         in_specs=[spec(d)],
         out_specs=(spec(1), spec(1)),
         out_shape=(out_shape, out_shape),

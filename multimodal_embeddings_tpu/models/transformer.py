@@ -207,18 +207,15 @@ class FastLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        # VMEM budget: the kernel holds one (L, D) row tile as input dtype
-        # plus f32 upcast + f32 square (~itemsize+8 bytes/elem). The mme5
-        # 1616x1280 shape (~20MB) would overflow the ~16MB scoped budget
-        # (the chain-11 whole-row attention failure mode); gate it out.
-        row_bytes = x.shape[1] * x.shape[2] * (x.dtype.itemsize + 8) if x.ndim == 3 else 0
-        use_kernel = (
-            _ln_stats_kernel_enabled()
-            and x.ndim == 3
-            and x.shape[1] % 8 == 0
-            and row_bytes <= 12 * 1024 * 1024
-            and _on_tpu_backend()
-        )
+        # the kernel row-chunks its grid (rows are independent for LN
+        # stats), so the only VMEM requirement is that SOME multiple-of-8
+        # row block dividing L fits the scoped budget (pick_row_block).
+        fits = False
+        if x.ndim == 3 and x.shape[1] % 8 == 0:
+            from multimodal_embeddings_tpu.kernels.ln_stats import pick_row_block
+
+            fits = pick_row_block(x.shape[1], x.shape[2], x.dtype.itemsize) > 0
+        use_kernel = _ln_stats_kernel_enabled() and fits and _on_tpu_backend()
         xf = x.astype(jnp.float32)
         if use_kernel:
             from multimodal_embeddings_tpu.kernels.ln_stats import ln_stats

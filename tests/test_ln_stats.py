@@ -37,6 +37,37 @@ class TestLnStatsKernel:
         assert mean.shape == (2, 784, 1) and rstd.shape == (2, 784, 1)
         assert mean.dtype == jnp.float32
 
+    def test_row_chunked_mme5_shape(self):
+        """The Mllama (1608, 1280) rows exceed the per-program VMEM
+        budget whole; the grid must row-chunk and stay exact."""
+        from multimodal_embeddings_tpu.kernels.ln_stats import pick_row_block
+
+        rb = pick_row_block(1608, 1280, 2)
+        assert rb == 536, rb  # 3 chunks, 6.9MB tiles
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(
+            rng.normal(scale=1.3, size=(2, 1608, 1280)).astype(np.float32),
+            jnp.bfloat16,
+        )
+        mean, rstd = ln_stats(x, interpret=True)
+        xf = np.asarray(x, np.float32)
+        want_mean = xf.mean(-1, keepdims=True)
+        want_var = np.maximum((xf * xf).mean(-1, keepdims=True) - want_mean**2, 0)
+        np.testing.assert_allclose(np.asarray(mean), want_mean, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rstd), 1.0 / np.sqrt(want_var + 1e-6), rtol=1e-5
+        )
+
+    def test_pick_row_block(self):
+        from multimodal_embeddings_tpu.kernels.ln_stats import pick_row_block
+
+        assert pick_row_block(784, 768, 2) == 784  # fits whole
+        assert pick_row_block(1608, 1280, 2) == 536
+        # nothing fits: a single 8-row block over a huge D
+        assert pick_row_block(8, 1024 * 1024 * 2, 2) == 0
+        # L not factorable into a fitting multiple of 8 beyond 8 itself
+        assert pick_row_block(16, 1280, 2) == 16
+
 
 class TestFastLayerNorm:
     """FastLayerNorm must be indistinguishable from nn.LayerNorm off-TPU:
