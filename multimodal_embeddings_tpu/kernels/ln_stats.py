@@ -39,10 +39,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ln_stats_kernel(x_ref, mean_ref, rstd_ref, *, eps: float):
+def _row_sum(x: jnp.ndarray, method: str) -> jnp.ndarray:
+    """Sum a (rb, D) f32 tile over its lane dimension → (rb, 1).
+
+    "reduce": plain jnp.sum — Mosaic's cross-lane reduction.
+    "chunk":  unrolled static 128-lane slices accumulated with VPU adds
+              (lane offsets at multiples of 128 are register selects),
+              then ONE cross-lane reduce of the final (rb, 128) tile.
+    "dot":    ones-matmul on the MXU (f32, N padded to 128 lanes).
+    """
+    rb, d = x.shape
+    if method == "chunk" and d % 128 == 0 and d > 128:
+        acc = x[:, :128]
+        for off in range(128, d, 128):
+            acc = acc + x[:, off : off + 128]
+        return jnp.sum(acc, axis=1, keepdims=True)
+    if method == "dot":
+        ones = jnp.ones((d, 128), jnp.float32)
+        return jax.lax.dot(x, ones)[:, :1]
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _ln_stats_kernel(x_ref, mean_ref, rstd_ref, *, eps: float, method: str):
     x = x_ref[0].astype(jnp.float32)  # (rb, D)
-    m = jnp.mean(x, axis=1, keepdims=True)  # (rb, 1)
-    m2 = jnp.mean(x * x, axis=1, keepdims=True)
+    d = x.shape[1]
+    m = _row_sum(x, method) / d  # (rb, 1)
+    m2 = _row_sum(x * x, method) / d
     var = jnp.maximum(m2 - m * m, 0.0)  # flax use_fast_variance formula
     mean_ref[0] = m
     rstd_ref[0] = jax.lax.rsqrt(var + eps)
@@ -70,15 +92,17 @@ def pick_row_block(l: int, d: int, itemsize: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "method"))
 def ln_stats(
     x: jnp.ndarray,  # (B, L, D)
     eps: float = 1e-6,
     interpret: bool = False,
+    method: str = "reduce",
 ):
     """→ (mean, rstd), each (B, L, 1) float32. Grid is (B, L/rb) row
     blocks; L must be a multiple of 8 (sublane tile of the f32 outputs)
-    and some multiple-of-8 row block must fit VMEM (pick_row_block)."""
+    and some multiple-of-8 row block must fit VMEM (pick_row_block).
+    ``method`` picks the in-kernel lane-sum strategy (see _row_sum)."""
     b, l, d = x.shape
     assert l % 8 == 0, l
     rb = pick_row_block(l, d, x.dtype.itemsize)
@@ -91,7 +115,7 @@ def ln_stats(
 
     out_shape = jax.ShapeDtypeStruct((b, l, 1), jnp.float32)
     mean, rstd = pl.pallas_call(
-        functools.partial(_ln_stats_kernel, eps=eps),
+        functools.partial(_ln_stats_kernel, eps=eps, method=method),
         grid=(b, l // rb),
         in_specs=[spec(d)],
         out_specs=(spec(1), spec(1)),

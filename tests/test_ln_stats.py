@@ -13,13 +13,16 @@ from multimodal_embeddings_tpu.models.transformer import FastLayerNorm
 
 class TestLnStatsKernel:
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-    def test_matches_f32_reference(self, dtype):
+    @pytest.mark.parametrize("method", ["reduce", "chunk", "dot"])
+    def test_matches_f32_reference(self, dtype, method):
         rng = np.random.default_rng(0)
+        # D=256 so the "chunk" path (requires D % 128 == 0, D > 128)
+        # actually takes its unrolled-slices branch
         x = jnp.asarray(
-            rng.normal(loc=0.7, scale=2.0, size=(4, 32, 48)).astype(np.float32),
+            rng.normal(loc=0.7, scale=2.0, size=(4, 32, 256)).astype(np.float32),
             dtype,
         )
-        mean, rstd = ln_stats(x, eps=1e-6, interpret=True)
+        mean, rstd = ln_stats(x, eps=1e-6, interpret=True, method=method)
         xf = np.asarray(x, np.float32)
         want_mean = xf.mean(-1, keepdims=True)
         want_var = np.maximum((xf * xf).mean(-1, keepdims=True) - want_mean**2, 0)
