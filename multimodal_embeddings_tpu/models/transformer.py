@@ -218,9 +218,12 @@ class FastLayerNorm(nn.Module):
         use_kernel = _ln_stats_kernel_enabled() and fits and _on_tpu_backend()
         xf = x.astype(jnp.float32)
         if use_kernel:
+            import os
+
             from multimodal_embeddings_tpu.kernels.ln_stats import ln_stats
 
-            mean, rstd = ln_stats(x, eps=self.epsilon)
+            method = os.environ.get("MMTPU_LN_STATS_METHOD", "reduce")
+            mean, rstd = ln_stats(x, eps=self.epsilon, method=method)
         else:
             mean = jnp.mean(xf, axis=-1, keepdims=True)
             var = jnp.maximum(
