@@ -540,11 +540,13 @@ def main() -> None:
     )
     parser.add_argument(
         "--mme5-quantize",
-        choices=("int8", "int4"),
+        choices=("int8", "int4", "int8-mixed"),
         default="int8",
-        help="11B weight storage class: int8 (the measured default) or "
+        help="11B weight storage class: int8 (the measured default), "
         "packed int4 (half the weight bytes/bandwidth; "
-        "kernels/quantization_int4.py)",
+        "kernels/quantization_int4.py), or int8-mixed "
+        "(bf16 vision + int8 text \u2014 the compute-bound vision tower "
+        "skips dequant-in-matmul)",
     )
     parser.add_argument(
         "--mme5-chunk",

@@ -522,10 +522,12 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="?",
         const="int8",
         default=False,
-        choices=["int8", "int4"],
+        choices=["int8", "int4", "int8-mixed"],
         help="weight-only quantized mme5 embedder (single-chip 11B "
         "serving; models/quantized.py). Bare --quantize = int8; "
-        "--quantize int4 packs two weights per byte (group-128 scales)",
+        "--quantize int4 packs two weights per byte (group-128 scales); "
+        "int8-mixed keeps the compute-bound vision tower bf16 and "
+        "quantizes the text stack only",
     )
     parser.add_argument(
         "--squeeze_views",

@@ -98,9 +98,13 @@ class MllamaConfig:
     vision: MllamaVisionConfig = dataclasses.field(default_factory=MllamaVisionConfig)
     text: MllamaTextConfig = dataclasses.field(default_factory=MllamaTextConfig)
     # weight-only quantized serving (models/quantized.py): False |
-    # True/"int8" | "int4". int8 stores per-channel scales (~11GB for the
-    # 11B layout → fits one v5e chip; bf16 at ~22GB does not); "int4"
-    # packs two values per byte with group-128 scales (~5.5GB dense).
+    # True/"int8" | "int4" | "int8-mixed". int8 stores per-channel scales
+    # (~11GB for the 11B layout → fits one v5e chip; bf16 at ~22GB does
+    # not); "int4" packs two values per byte with group-128 scales
+    # (~5.5GB dense); "int8-mixed" keeps the VISION tower bf16 (it is
+    # compute-bound at serving M ≈ 3.3k rows, where dequant-in-matmul
+    # only costs) and quantizes the text stack (weight-streaming-bound
+    # at M ≈ 32) — ~0.6GB more HBM than pure int8.
     quantize: Any = False
 
     @classmethod
@@ -138,6 +142,16 @@ class MllamaConfig:
         """The 11B layout with int8 weight storage: the single-chip
         serving config (11GB params + activations fit 16GB HBM)."""
         return cls(quantize=True)
+
+    @classmethod
+    def mme5_11b_int8_mixed(cls) -> "MllamaConfig":
+        """11B with bf16 VISION + int8 TEXT. The r3 11B trace shows the
+        program 85% inside int8_matmul calls, dominated by the vision
+        tower's M=3328 matmuls at ~16% MFU — compute-bound shapes where
+        int8's in-kernel dequant only subtracts; the text stack's
+        skinny-M matmuls keep int8's weight-bandwidth win. ~10.7GB
+        params, still single-chip."""
+        return cls(quantize="int8-mixed")
 
     @classmethod
     def mme5_11b_int4(cls) -> "MllamaConfig":
@@ -449,14 +463,16 @@ class MmE5Embedder(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        q = self.config.quantize
+        vision_q, text_q = ((False, True) if q == "int8-mixed" else (q, q))
         self.vision_model = MllamaVisionEncoder(
             self.config.vision,
             self.config.text.hidden,
             self.dtype,
-            quantize=self.config.quantize,
+            quantize=vision_q,
         )
         self.text_model = MllamaTextModel(
-            self.config.text, self.dtype, quantize=self.config.quantize
+            self.config.text, self.dtype, quantize=text_q
         )
 
     def __call__(

@@ -160,6 +160,48 @@ def test_quantized_mme5_embedder_matches_f32():
     assert cos.min() > 0.99, cos
 
 
+def test_mixed_quantization_splits_towers():
+    """quantize="int8-mixed": the VISION tower stays full-precision
+    DenseGeneral (compute-bound at serving M — 11B trace chain 17) while
+    the TEXT stack quantizes; conversion + forward still work and agree
+    with f32 at the cosine gate."""
+    import dataclasses
+
+    from multimodal_embeddings_tpu.models.mme5 import MllamaConfig, MmE5Embedder
+    from multimodal_embeddings_tpu.models.quantized import quantize_dense_tree
+    from multimodal_embeddings_tpu.parallel.sharding import unbox
+
+    cfg = MllamaConfig.tiny()
+    model = MmE5Embedder(cfg, dtype=jnp.float32)
+    qmodel = MmE5Embedder(
+        dataclasses.replace(cfg, quantize="int8-mixed"), dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(0)
+    b, L = 2, 16
+    ids = jnp.asarray(rng.integers(1, 200, (b, L)), jnp.int32)
+    mask = jnp.ones((b, L), jnp.int32)
+    size = cfg.vision.image_size
+    images = jnp.asarray(rng.uniform(-1, 1, (b, size, size, 3)).astype(np.float32))
+
+    variables = unbox(model.init(jax.random.key(0), ids, mask, images))
+    target = jax.eval_shape(
+        lambda: qmodel.init(jax.random.key(0), ids, mask, images)
+    )
+
+    def leaf_dtypes(tree):
+        return {str(l.dtype) for l in jax.tree.leaves(tree)}
+
+    assert "int8" not in leaf_dtypes(target["params"]["vision_model"])
+    assert "int8" in leaf_dtypes(target["params"]["text_model"])
+
+    qvars = {"params": quantize_dense_tree(variables["params"], target["params"])}
+    emb_f32 = model.apply(variables, ids, mask, images)
+    emb_q = qmodel.apply(qvars, ids, mask, images)
+    cos = np.sum(np.asarray(emb_f32) * np.asarray(emb_q), -1)
+    assert cos.min() > 0.99, cos
+
+
 def test_embedder_facade_int8():
     """EmbedderConfig(quantize=True) builds a working int8 mme5 embedder
     (the reference API surface, ``embedder.py:36-254``, over int8 storage)."""
