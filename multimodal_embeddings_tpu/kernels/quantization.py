@@ -174,6 +174,36 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def pick_blocks(m: int, k: int, n: int) -> tuple[int, int, int]:
+    """Measured (block_m, block_n, block_k) per serving-shape class
+    (`scripts/int8_tune_results.json`, chain 19; 16-call amortized
+    timing). The original fixed (128, 128, 512) runs the M=3328 vision
+    matmuls as ~3120 grid steps of 64KB weight blocks — per-step
+    overhead, not DMA or MXU, dominates; whole-K × wide-N blocks
+    measured 31-56% faster (vision MLP 71-83 TFLOP/s, text skinny-M
+    gate-up 124 GB/s weight streaming).
+
+    Legacy blocks for shapes outside the measured classes (tiny test
+    configs, odd N) — the sweep covered the 11B text (M≈32) and vision
+    (M≈3.3k) families."""
+    if n % 128 or k < 512:
+        return 128, 128, 512
+    if m <= 64:  # skinny-M decoder/prompt stack: stream weights wide
+        bn = min(512, n)
+        return 128, bn, (k if k <= 4096 else _largest_divisor_block(k))
+    if n <= 1280 and k >= 4096:  # vision MLP-down class
+        return 128, n, _largest_divisor_block(k, cap=1024)
+    bn = min(512, n)
+    return 128, bn, (k if k <= 2048 else _largest_divisor_block(k))
+
+
+def _largest_divisor_block(k: int, cap: int = 2048) -> int:
+    for cand in (cap, 2048, 1024, 512):
+        if cand <= cap and k % cand == 0:
+            return cand
+    return 512
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_m", "block_n", "block_k"))
 def int8_matmul(
     x: jnp.ndarray,  # (M, K) bf16/f32
@@ -231,7 +261,16 @@ def int8_apply(x: jnp.ndarray, qt: QTensor, *, use_kernel: bool | None = None) -
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if use_kernel:
-        out = int8_matmul(x2, qt.q, qt.scale, interpret=False)
+        bm, bn, bk = pick_blocks(x2.shape[0], qt.q.shape[0], qt.q.shape[1])
+        out = int8_matmul(
+            x2,
+            qt.q,
+            qt.scale,
+            interpret=False,
+            block_m=bm,
+            block_n=bn,
+            block_k=bk,
+        )
     else:
         # dequantize in f32 like the Pallas kernel (which multiplies the
         # f32 scales into the f32 accumulator) so the CPU path the parity
