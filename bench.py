@@ -39,6 +39,11 @@ DEFAULT_PALLAS_CONVS = 0
 # limit while BOTH trees get constant folding). Override with
 # --closure-weights.
 DEFAULT_CLOSURE_WEIGHTS = "split"
+# 11B weight storage class — measured A/B 2026-08-19 (chain 20): pure
+# int8 + tuned blocks 0.392 p/s, int8-mixed (bf16 vision + int8 text)
+# 0.551 p/s: the vision tower's M=3328 matmuls are compute-bound, where
+# XLA bf16 beats even the retuned dequant-in-matmul kernel.
+DEFAULT_MME5_QUANTIZE = "int8-mixed"
 
 
 def _setup_jax() -> None:
@@ -82,7 +87,7 @@ def build_pipeline(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
-    mme5_quantize: str = "int8",
+    mme5_quantize: str = DEFAULT_MME5_QUANTIZE,
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
@@ -263,7 +268,7 @@ def run_bench(
     pallas_convs: int = 0,
     letterbox: bool = False,
     mme5_size: str = "2b",
-    mme5_quantize: str = "int8",
+    mme5_quantize: str = DEFAULT_MME5_QUANTIZE,
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
@@ -541,12 +546,11 @@ def main() -> None:
     parser.add_argument(
         "--mme5-quantize",
         choices=("int8", "int4", "int8-mixed"),
-        default="int8",
-        help="11B weight storage class: int8 (the measured default), "
-        "packed int4 (half the weight bytes/bandwidth; "
-        "kernels/quantization_int4.py), or int8-mixed "
-        "(bf16 vision + int8 text \u2014 the compute-bound vision tower "
-        "skips dequant-in-matmul)",
+        default=DEFAULT_MME5_QUANTIZE,
+        help="11B weight storage class: int8-mixed (bf16 vision + int8 "
+        "text, the measured serving default), pure int8, "
+        "or packed int4 (half the weight bytes/bandwidth; "
+        "kernels/quantization_int4.py)",
     )
     parser.add_argument(
         "--mme5-chunk",
@@ -621,7 +625,7 @@ def main() -> None:
         and args.pallas_convs == DEFAULT_PALLAS_CONVS
         and not args.letterbox
         and args.mme5_chunk is None
-        and args.mme5_quantize == "int8"
+        and args.mme5_quantize == DEFAULT_MME5_QUANTIZE
         and args.batch == 1
         and not args.auto_layouts
         and args.profile is None
@@ -708,9 +712,9 @@ def main() -> None:
             out = {
                 "metric": "pages/sec/chip end-to-end, FULL 11B parity "
                 "embedder (detect 30 views @1024 doclayout-yolov10m-glcrm "
-                "+ embed 48 regions @560 mme5-11B Mllama layout, int8 "
-                f"weight-only) — fused detect+crop program + compiled "
-                f"embed chunks of {chunk}",
+                "+ embed 48 regions @560 mme5-11B Mllama layout, "
+                f"{args.mme5_quantize} weight storage) — fused "
+                f"detect+crop program + compiled embed chunks of {chunk}",
                 "value": round(info["pages_per_sec"], 5),
                 "unit": "pages/sec/chip",
                 "ms_per_page": round(ms_page, 1),

@@ -125,7 +125,9 @@ class MultimodalEmbedder:
                 "embedder (%s, %s) running with synthetic quantized "
                 "weights (no checkpoint configured)",
                 config.family,
-                "int4" if self.model_config.quantize == "int4" else "int8",
+                self.model_config.quantize
+                if isinstance(self.model_config.quantize, str)
+                else "int8",
             )
             self.variables = psharding.unbox(variables)
             self._image_fn = None
