@@ -545,7 +545,7 @@ def main() -> None:
     )
     parser.add_argument(
         "--mme5-quantize",
-        choices=("int8", "int4", "int8-mixed"),
+        choices=("int8", "int4", "int8-mixed", "int4-mixed"),
         default=DEFAULT_MME5_QUANTIZE,
         help="11B weight storage class: int8-mixed (bf16 vision + int8 "
         "text, the measured serving default), pure int8, "

@@ -522,7 +522,7 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="?",
         const="int8-mixed",
         default=False,
-        choices=["int8", "int4", "int8-mixed"],
+        choices=["int8", "int4", "int8-mixed", "int4-mixed"],
         help="weight-only quantized mme5 embedder (single-chip 11B "
         "serving; models/quantized.py). Bare --quantize = int8-mixed "
         "(bf16 vision + int8 text — the measured serving default, 1.4x "

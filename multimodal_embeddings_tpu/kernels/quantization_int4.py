@@ -111,33 +111,57 @@ def dequantize_int4(qt: Q4Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _mm4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_g: int):
-    gb = pl.program_id(2)
+def _mm4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_kb: int, gs: int, g: int):
+    kb = pl.program_id(2)
 
-    @pl.when(gb == 0)
+    @pl.when(kb == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # unpack in VMEM: two shifts + one sublane concat; the bf16 copy of
-    # the weight group only ever exists in registers feeding the MXU
-    p = p_ref[...].astype(jnp.int32)
-    lo = ((p & 15) - 8).astype(jnp.bfloat16)
-    hi = ((p >> 4) - 8).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=0)
-    part = jnp.dot(
-        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
-    # scale arrives (1, 1, block_n): 3-D so its (sublane, lane) block dims
-    # satisfy Mosaic's (8, 128)-divisible-or-full rule for every group count
-    acc_ref[...] += part * s_ref[0].astype(jnp.float32)
+    # unpack in VMEM: two shifts + one sublane concat per group; the bf16
+    # copy of each weight group only ever exists in registers feeding the
+    # MXU. ``gs`` groups per k-step (static unroll) amortize per-step
+    # overhead — one group per step ran the K=4096 text matmuls as 32
+    # 8KB-block steps, the int4-slower-than-int8 pathology (chain 10).
+    acc = acc_ref[...]
+    for t in range(gs):
+        p = p_ref[t * (g // 2) : (t + 1) * (g // 2)].astype(jnp.int32)
+        lo = ((p & 15) - 8).astype(jnp.bfloat16)
+        hi = ((p >> 4) - 8).astype(jnp.bfloat16)
+        w = jnp.concatenate([lo, hi], axis=0)
+        part = jnp.dot(
+            x_ref[:, t * g : (t + 1) * g].astype(jnp.bfloat16),
+            w,
+            preferred_element_type=jnp.float32,
+        )
+        # scale block is (gs, 1, block_n): 3-D so its (sublane, lane)
+        # dims satisfy Mosaic's (8, 128)-divisible-or-full rule for
+        # every group count
+        acc = acc + part * s_ref[t].astype(jnp.float32)
+    acc_ref[...] = acc
 
-    @pl.when(gb == n_g - 1)
+    @pl.when(kb == n_kb - 1)
     def _store():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def pick_blocks4(m: int, k: int, n: int, n_groups: int) -> tuple[int, int, int]:
+    """(block_m, block_n, groups_per_step) for the int4 matmul, mirroring
+    the int8 ``pick_blocks`` lesson (chain 19: whole-K × wide-N blocks
+    beat tiny ones by 31-56% — per-grid-step overhead dominates): stream
+    ≥512-wide N blocks and cover 8 scale groups (K=1024) per k-step."""
+    if n % 128 or k < 512 or n_groups < 2:
+        return 128, 128, 1
+    gs = 1
+    for cand in (8, 4, 2):
+        if n_groups % cand == 0:
+            gs = cand
+            break
+    return 128, min(512, n), gs
+
+
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_m", "block_n")
+    jax.jit, static_argnames=("interpret", "block_m", "block_n", "groups_per_step")
 )
 def int4_matmul(
     x: jnp.ndarray,  # (M, K) bf16/f32
@@ -147,8 +171,10 @@ def int4_matmul(
     interpret: bool | None = None,
     block_m: int = 128,
     block_n: int = 128,
+    groups_per_step: int = 1,
 ) -> jnp.ndarray:
-    """``x @ dequant(packed, scale)`` — one scale group per k-step."""
+    """``x @ dequant(packed, scale)`` — ``groups_per_step`` scale groups
+    per k-step (must divide the group count)."""
     if interpret is None:
         interpret = not _on_tpu()
     out_dtype = x.dtype
@@ -157,11 +183,13 @@ def int4_matmul(
     n_groups = scale.shape[0]
     g = k // n_groups
     assert g * n_groups == k and g % 2 == 0, (k, n_groups)
+    gs = groups_per_step
+    assert n_groups % gs == 0, (n_groups, gs)
 
     block_m = min(block_m, max(8, 1 << (m - 1).bit_length()))
     xp = _pad_to(x, 0, block_m)
     pp = _pad_to(packed, 1, block_n)
-    # (n_groups, 1, N): a (1, 1, block_n) block's trailing two dims are
+    # (n_groups, 1, N): a (gs, 1, block_n) block's trailing two dims are
     # (1, block_n) with the sublane dim FULL — Mosaic rejects (1, block_n)
     # blocks of a 2-D (n_groups, N) array when n_groups > 1
     sp = _pad_to(scale, 1, block_n).reshape(n_groups, 1, -1)
@@ -169,14 +197,14 @@ def int4_matmul(
     np_ = pp.shape[1]
 
     out = pl.pallas_call(
-        functools.partial(_mm4_kernel, n_g=n_groups),
-        grid=(mp // block_m, np_ // block_n, n_groups),
+        functools.partial(_mm4_kernel, n_kb=n_groups // gs, gs=gs, g=g),
+        grid=(mp // block_m, np_ // block_n, n_groups // gs),
         in_specs=[
-            pl.BlockSpec((block_m, g), lambda i, j, gb: (i, gb)),
-            pl.BlockSpec((g // 2, block_n), lambda i, j, gb: (gb, j)),
-            pl.BlockSpec((1, 1, block_n), lambda i, j, gb: (gb, 0, j)),
+            pl.BlockSpec((block_m, g * gs), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec(((g // 2) * gs, block_n), lambda i, j, kb: (kb, j)),
+            pl.BlockSpec((gs, 1, block_n), lambda i, j, kb: (kb, 0, j)),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, gb: (i, j)),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kb: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -201,7 +229,19 @@ def int4_apply(
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if use_kernel:
-        out = int4_matmul(x2, qt.packed, qt.scale, interpret=False)
+        bm, bn, gs = pick_blocks4(
+            x2.shape[0], 2 * qt.packed.shape[0], qt.packed.shape[1],
+            qt.scale.shape[0],
+        )
+        out = int4_matmul(
+            x2,
+            qt.packed,
+            qt.scale,
+            interpret=False,
+            block_m=bm,
+            block_n=bn,
+            groups_per_step=gs,
+        )
     else:
         out = x2 @ dequantize_int4(qt, x.dtype)
     return out.reshape(*lead, qt.packed.shape[-1])

@@ -464,7 +464,12 @@ class MmE5Embedder(nn.Module):
 
     def setup(self):
         q = self.config.quantize
-        vision_q, text_q = ((False, True) if q == "int8-mixed" else (q, q))
+        if q == "int8-mixed":
+            vision_q, text_q = False, True
+        elif q == "int4-mixed":
+            vision_q, text_q = False, "int4"
+        else:
+            vision_q, text_q = q, q
         self.vision_model = MllamaVisionEncoder(
             self.config.vision,
             self.config.text.hidden,

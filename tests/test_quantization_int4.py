@@ -106,6 +106,52 @@ def test_int4_matmul_matches_dequant(m, k, n, g):
     )
 
 
+@pytest.mark.parametrize("gs", [2, 4, 8])
+def test_int4_matmul_multi_group_steps(gs):
+    """groups_per_step > 1 (the chain-19 blocking lesson applied to int4:
+    one group per k-step ran K=4096 matmuls as 32 tiny-block steps) is
+    bit-identical to the single-group path."""
+    rng = np.random.default_rng(5)
+    m, k, n = 16, 128 * 8, 256
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+    qt = quantize_tensor_int4(w, group_size=128)
+    base = int4_matmul(x, qt.packed, qt.scale, interpret=True)
+    out = int4_matmul(
+        x, qt.packed, qt.scale, interpret=True, groups_per_step=gs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_int4_mixed_tower_split():
+    """quantize='int4-mixed': bf16 vision tower + packed-int4 text."""
+    import dataclasses
+
+    import jax
+
+    from multimodal_embeddings_tpu.models.mme5 import MllamaConfig, MmE5Embedder
+
+    cfg = dataclasses.replace(MllamaConfig.tiny(), quantize="int4-mixed")
+    model = MmE5Embedder(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 200, (1, 8)), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    size = cfg.vision.image_size
+    images = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32))
+    struct = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, ids, mask, images)
+    )
+
+    def leaf_dtypes(tree):
+        return {str(l.dtype) for l in jax.tree.leaves(tree)}
+
+    assert "uint8" not in leaf_dtypes(struct["params"]["vision_model"])
+    assert "uint8" in leaf_dtypes(struct["params"]["text_model"])
+
+
 def test_int4_apply_leading_dims_fallback():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(2, 5, 64)).astype(np.float32))
@@ -308,14 +354,14 @@ def test_pp_greedy_generate_int4(devices8):
 
 
 def test_serve_cli_quantize_int4_flag():
-    """--quantize int4 reaches the embedder config; bare --quantize stays
-    int8 (back-compat)."""
+    """--quantize int4 reaches the embedder config; bare --quantize is the
+    measured serving default (int8-mixed, chain 20: 1.41× pure int8)."""
     from multimodal_embeddings_tpu.cli.serve import build_parser
 
     args = build_parser().parse_args(["--quantize", "int4"])
     assert args.quantize == "int4"
     args = build_parser().parse_args(["--quantize"])
-    assert args.quantize == "int8"
+    assert args.quantize == "int8-mixed"
     args = build_parser().parse_args([])
     assert args.quantize is False
 
