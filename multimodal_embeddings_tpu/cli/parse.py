@@ -27,7 +27,7 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 
 logger = get_logger("cli.parse")
 
-SIZES = ("tiny", "3b", "7b", "32b", "32b-int8", "32b-int4")
+SIZES = ("tiny", "tiny-int8", "3b", "7b", "7b-int8", "32b", "32b-int8", "32b-int4")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -80,10 +80,14 @@ def make_document_parser(
     from multimodal_embeddings_tpu.models.qwen_vl import QwenVLConfig, QwenVLModel
     from multimodal_embeddings_tpu.models.tokenizer import ByteTokenizer
 
+    import dataclasses as _dc
+
     config = {
         "tiny": QwenVLConfig.tiny,
+        "tiny-int8": lambda: _dc.replace(QwenVLConfig.tiny(), quantize=True),
         "3b": QwenVLConfig.qwen25_vl_3b,
         "7b": QwenVLConfig.qwen25_vl_7b,
+        "7b-int8": QwenVLConfig.qwen25_vl_7b_int8,
         "32b": QwenVLConfig.qwen25_vl_32b,
         "32b-int8": QwenVLConfig.qwen25_vl_32b_int8,
         "32b-int4": QwenVLConfig.qwen25_vl_32b_int4,
@@ -93,7 +97,7 @@ def make_document_parser(
     import flax.linen as fnn
     import jax.numpy as jnp
 
-    if size == "tiny":
+    if size.startswith("tiny"):
         image_size = min(image_size, 56)
     unit = config.vision.patch_size * config.vision.merge_size
     image_size = max(unit, (image_size // unit) * unit)
@@ -107,6 +111,20 @@ def make_document_parser(
             jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids, imgs))
         )
         variables = load_checkpoint(weights, target)
+    elif config.quantize:
+        # build the quantized tree directly from eval_shape — the f32
+        # twin of a 7B/32B decoder is a multi-tens-of-GB host tree (the
+        # documented remote-compiler/hostRAM killer, models/embedder.py)
+        from multimodal_embeddings_tpu.models.quantized import (
+            synthetic_int8_init,
+        )
+
+        logger.warning(
+            "document parser (%s) running with synthetic quantized weights "
+            "(no checkpoint configured)",
+            size,
+        )
+        variables = fnn.unbox(synthetic_int8_init(model, (ids, imgs)))
     else:
         logger.warning(
             "document parser (%s) running with deterministic random weights "

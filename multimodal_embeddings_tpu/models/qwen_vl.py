@@ -132,6 +132,15 @@ class QwenVLConfig:
         )
 
     @classmethod
+    def qwen25_vl_7b_int8(cls) -> "QwenVLConfig":
+        """The notebook's 7B configuration with 8-bit quantization (cell
+        ``39512aca``, ``BitsAndBytesConfig(load_in_8bit=True)`` for 7B):
+        ~7.6B decoder params int8 ≈ 7.6GB + bf16 vision (~0.7GB) +
+        embed/lm_head — fits ONE 16GB chip with KV-cache headroom; the
+        single-chip on-hardware demo config for the parse surface."""
+        return dataclasses.replace(cls.qwen25_vl_7b(), quantize=True)
+
+    @classmethod
     def qwen25_vl_32b_int8(cls) -> "QwenVLConfig":
         return dataclasses.replace(cls.qwen25_vl_32b(), quantize=True)
 

@@ -453,6 +453,26 @@ class TestParseCLI:
         clean = open("out/doc.clean.html").read()
         assert "data-bbox" not in clean
 
+    def test_parse_cli_synthetic_quantized(self, tmp_path, monkeypatch):
+        """--size tiny-int8 exercises the checkpoint-less quantized parse
+        path (synthetic_int8_init instead of the f32 twin — the same
+        route the single-chip 7b-int8 on-hardware config takes)."""
+        from multimodal_embeddings_tpu.cli.parse import main
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        Image.new("RGB", (100, 80), "white").save("pages/doc.png")
+        rc = main(
+            [
+                "--input_folder", "pages",
+                "--output_folder", "out",
+                "--size", "tiny-int8",
+                "--max_new_tokens", "4",
+            ]
+        )
+        assert rc == 0
+        assert os.path.exists("out/doc.qwen.html")
+
     def test_parse_cli_pipeline_parallel_matches(self, tmp_path, monkeypatch):
         """--pipeline_parallel 2 (the 32B serving shape: decoder stack
         over a stage ring) must emit byte-identical HTML artifacts to the
