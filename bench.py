@@ -618,6 +618,7 @@ def main() -> None:
         os.environ.get("MMTPU_ENC_ATTN") == "0"  # kernel-off control
         or os.environ.get("MMTPU_F32_LOGITS") == "1"
         or os.environ.get("MMTPU_LN_STATS") == "1"  # opt-in pending A/B
+        or os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1"  # opt-in pending A/B
     )
     args.record = (
         not env_experiment

@@ -97,6 +97,89 @@ def _enc_attn_kernel(
     jax.lax.fori_loop(0, heads, head_body, 0)
 
 
+def _enc_attn_blhd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
+    """Per-head attention over a (1, L, hpb, D) BLHD slab — no host-side
+    (B,L,H,D)→(B,H,L,D) transpose feeding the call (the r3 headline trace
+    pays ~7.5 ms/page of relayout copies around the BHLD kernel); the
+    per-head (L, D) extraction happens as strided VMEM reads instead."""
+    l = q_ref.shape[1]
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    def head_body(h, _):
+        q = q_ref[0, :, h, :].astype(mxu_dtype)  # (L, D)
+        k = k_ref[0, :, h, :].astype(mxu_dtype)
+        v = v_ref[0, :, h, :].astype(mxu_dtype)
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        o = jnp.dot(e.astype(mxu_dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h, :] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, heads, head_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "heads_per_block", "interpret")
+)
+def encoder_attention_blhd(
+    q: jnp.ndarray,  # (B, L, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # (B, L, H, Dv)
+    sm_scale: Optional[float] = None,
+    heads_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transpose-free variant: operands stay (B, L, H, D) end to end.
+
+    Same math as ``encoder_attention`` (whole-row softmax, unmasked);
+    the head dim is blocked so each program's slab + (L, L) score/exp
+    intermediates fit scoped VMEM. HBM reads are strided per L-row
+    (hpb·D contiguous bytes) — the A/B against transpose+BHLD is a
+    measured question, not a foregone win."""
+    b, l, h, d = q.shape
+    dv = v.shape[3]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    ib = 6 if q.dtype == jnp.bfloat16 else 8
+    elem = q.dtype.itemsize
+    if heads_per_block is None:
+        inter = ib * l * l
+        hpb = h
+        while hpb > 1 and (
+            2 * l * hpb * (2 * d + 2 * dv) * elem + inter > 9e6 or h % hpb
+        ):
+            hpb -= 1
+        heads_per_block = hpb
+    assert h % heads_per_block == 0, (h, heads_per_block)
+
+    def spec(depth):
+        return pl.BlockSpec(
+            (1, l, heads_per_block, depth),
+            lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _enc_attn_blhd_kernel, sm_scale=sm_scale, heads=heads_per_block
+        ),
+        grid=(b, h // heads_per_block),
+        in_specs=[spec(d), spec(d), spec(dv)],
+        out_specs=spec(dv),
+        out_shape=jax.ShapeDtypeStruct((b, l, h, dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

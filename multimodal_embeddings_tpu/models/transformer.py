@@ -322,10 +322,18 @@ def sdpa(
 
         return flash_attention(q, k, v, causal=causal)
     if _enc_attn_eligible(q, k, v, mask, causal):
+        import os
+
         from multimodal_embeddings_tpu.kernels.encoder_attention import (
             encoder_attention,
+            encoder_attention_blhd,
         )
 
+        if os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1":
+            # transpose-free BLHD variant (opt-in pending the in-model
+            # A/B): kills the ~7.5 ms/page of relayout copies around the
+            # BHLD call at the cost of strided slab reads
+            return encoder_attention_blhd(q, k, v)
         return encoder_attention(q, k, v)
 
     b, lq, h, d = q.shape

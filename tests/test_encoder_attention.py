@@ -52,6 +52,40 @@ class TestEncoderAttention:
             np.asarray(got, np.float32), np.asarray(want), atol=4e-2
         )
 
+    @pytest.mark.parametrize("hpb", [None, 1, 2])
+    def test_blhd_matches_base_kernel(self, hpb):
+        """The transpose-free BLHD variant is numerically identical to
+        the BHLD kernel (same per-head math, different slab layout)."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blhd,
+        )
+
+        q, k, v = self._qkv(dtype=jnp.bfloat16, seed=4)
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention_blhd(
+            q, k, v, heads_per_block=hpb, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(base, np.float32),
+            atol=1e-6,
+        )
+
+    def test_blhd_dv_wider_than_dk(self):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blhd,
+        )
+
+        rng = np.random.default_rng(7)
+        b, l, h, d, dv = 2, 32, 2, 16, 32
+        q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, l, h, dv)).astype(np.float32))
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention_blhd(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=1e-6
+        )
+
     def test_valid_len_masks_trailing_keys(self):
         """Static prefix masking (the Mllama 1601-of-1608 pattern)."""
         q, k, v = self._qkv(l=48)
