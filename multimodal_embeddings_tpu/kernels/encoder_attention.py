@@ -97,6 +97,31 @@ def _enc_attn_kernel(
     jax.lax.fori_loop(0, heads, head_body, 0)
 
 
+def _blhd_pick_hpb(l, h, d, dv, dtype):
+    """Largest LEGAL head block fitting the VMEM budget, or None.
+
+    Mosaic requires a block's last two dims be (8, 128)-divisible OR
+    equal to the full array dims — so a (1, L, hpb, D) block needs hpb
+    to be a multiple of 8 or hpb == H (the headline chain-23 crash:
+    hpb=2 of H=4 was rejected)."""
+    ib = 6 if dtype == jnp.bfloat16 else 8
+    elem = jnp.dtype(dtype).itemsize
+    inter = ib * l * l
+    legal = {h} | {c for c in range(8, h, 8) if h % c == 0}
+    fitting = [
+        hpb
+        for hpb in legal
+        if 2 * l * hpb * (2 * d + 2 * dv) * elem + inter <= 14e6
+    ]
+    return max(fitting) if fitting else None
+
+
+def blhd_supported(q, v) -> bool:
+    """Whether the transpose-free BLHD variant can run at these shapes."""
+    _, l, h, d = q.shape
+    return _blhd_pick_hpb(l, h, d, v.shape[3], q.dtype) is not None
+
+
 def _enc_attn_blhd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
     """Per-head attention over a (1, L, hpb, D) BLHD slab — no host-side
     (B,L,H,D)→(B,H,L,D) transpose feeding the call (the r3 headline trace
@@ -148,16 +173,13 @@ def encoder_attention_blhd(
     dv = v.shape[3]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    ib = 6 if q.dtype == jnp.bfloat16 else 8
-    elem = q.dtype.itemsize
     if heads_per_block is None:
-        inter = ib * l * l
-        hpb = h
-        while hpb > 1 and (
-            2 * l * hpb * (2 * d + 2 * dv) * elem + inter > 9e6 or h % hpb
-        ):
-            hpb -= 1
-        heads_per_block = hpb
+        heads_per_block = _blhd_pick_hpb(l, h, d, dv, q.dtype)
+        if heads_per_block is None:
+            raise ValueError(
+                f"no legal BLHD head block fits VMEM at {q.shape} — guard "
+                "with blhd_supported() before dispatching"
+            )
     assert h % heads_per_block == 0, (h, heads_per_block)
 
     def spec(depth):

@@ -325,11 +325,14 @@ def sdpa(
         import os
 
         from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            blhd_supported,
             encoder_attention,
             encoder_attention_blhd,
         )
 
-        if os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1":
+        if os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1" and blhd_supported(
+            q, v
+        ):
             # transpose-free BLHD variant (opt-in pending the in-model
             # A/B): kills the ~7.5 ms/page of relayout copies around the
             # BHLD call at the cost of strided slab reads
