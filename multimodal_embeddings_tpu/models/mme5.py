@@ -491,33 +491,65 @@ class MmE5Embedder(nn.Module):
     ) -> jnp.ndarray:
         vision_states = vision_mask = None
         if images is not None:
-            single_tile = images.ndim == 4
-            if single_tile:
-                images = images[:, None]
-            b, t = images.shape[0], images.shape[1]
-            # short stacks are processed AS-IS (t tiles, not padded to
-            # max_tiles): the tower slices its tile tables to the first t
-            # slots and valid-token outputs match the padded-stack result
-            # exactly (padding tiles were masked keys) — a 4x token-count
-            # saving for the dominant single-tile region-crop workload
-            if aspect_ratio_ids is None:
-                # id 1 = the (1,1) single-tile arrangement
-                aspect_ratio_ids = jnp.ones((b,), jnp.int32)
-            # a caller that passes no tile_mask asserts every tile is real
-            # (the fused single-tile serving path) — a STATIC fact the
-            # vision tower turns into prefix-masked kernel attention
-            all_tiles_real = tile_mask is None
-            if tile_mask is None:
-                tile_mask = jnp.ones((b, t), jnp.int32)
-            else:
-                assert tile_mask.shape[1] == t, (
-                    f"tile_mask covers {tile_mask.shape[1]} tiles, images "
-                    f"carry {t}"
-                )
-            vision_states, vision_mask = self.vision_model(
-                images, aspect_ratio_ids, tile_mask,
-                all_tiles_real=all_tiles_real,
+            vision_states, vision_mask = self.encode_vision(
+                images, aspect_ratio_ids, tile_mask
             )
+        return self.embed_from_vision(
+            token_ids, attention_mask, vision_states, vision_mask
+        )
+
+    def encode_vision(
+        self,
+        images: jnp.ndarray,  # (B, T, S, S, 3) tiles or (B, S, S, 3)
+        aspect_ratio_ids: Optional[jnp.ndarray] = None,  # (B,)
+        tile_mask: Optional[jnp.ndarray] = None,  # (B, T)
+    ):
+        """Vision tower only → (vision_states (B, Lv, hidden), vision_mask).
+
+        Split entry point for decoupled serving microbatches: the vision
+        tower's attention transient bounds its batch to ~2 crops at 11B,
+        while the weight-streaming-bound TEXT stack wants 8-16 crops per
+        forward to amortize each ~5GB int8 weight read (the reference runs
+        one combined forward per crop, ``embedder.py:104-137``; here the
+        two halves run as separate programs over a buffered
+        ``vision_states``)."""
+        single_tile = images.ndim == 4
+        if single_tile:
+            images = images[:, None]
+        b, t = images.shape[0], images.shape[1]
+        # short stacks are processed AS-IS (t tiles, not padded to
+        # max_tiles): the tower slices its tile tables to the first t
+        # slots and valid-token outputs match the padded-stack result
+        # exactly (padding tiles were masked keys) — a 4x token-count
+        # saving for the dominant single-tile region-crop workload
+        if aspect_ratio_ids is None:
+            # id 1 = the (1,1) single-tile arrangement
+            aspect_ratio_ids = jnp.ones((b,), jnp.int32)
+        # a caller that passes no tile_mask asserts every tile is real
+        # (the fused single-tile serving path) — a STATIC fact the
+        # vision tower turns into prefix-masked kernel attention
+        all_tiles_real = tile_mask is None
+        if tile_mask is None:
+            tile_mask = jnp.ones((b, t), jnp.int32)
+        else:
+            assert tile_mask.shape[1] == t, (
+                f"tile_mask covers {tile_mask.shape[1]} tiles, images "
+                f"carry {t}"
+            )
+        return self.vision_model(
+            images, aspect_ratio_ids, tile_mask,
+            all_tiles_real=all_tiles_real,
+        )
+
+    def embed_from_vision(
+        self,
+        token_ids: jnp.ndarray,  # (B, L)
+        attention_mask: jnp.ndarray,  # (B, L)
+        vision_states: Optional[jnp.ndarray] = None,  # (B, Lv, hidden)
+        vision_mask: Optional[jnp.ndarray] = None,  # (B, Lv)
+    ) -> jnp.ndarray:
+        """Text stack + pooling over precomputed ``vision_states`` (the
+        other half of the decoupled split; see ``encode_vision``)."""
         hidden = self.text_model(
             token_ids, attention_mask, vision_states, vision_mask
         )

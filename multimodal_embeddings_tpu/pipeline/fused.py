@@ -481,6 +481,7 @@ def build_split_page_fn(
     embed_tiles: int = 1,
     closure_weights: bool = True,
     embed_closure: bool = False,
+    text_chunk: int = 0,
 ):
     """Two-program serving split: ONE fused detect+crop program plus
     ``num_regions/embed_chunk`` executions of one compiled embed program,
@@ -498,6 +499,17 @@ def build_split_page_fn(
     ~200MB HLO body (the tunnel rejects that with HTTP 413; each split
     program's body stays under the limit on its own). The mme5 trees
     (4-11GB) must always ride as arguments (CLAUDE.md).
+
+    ``text_chunk=N`` (mme5 family only) DECOUPLES the vision and text
+    microbatches: the vision tower runs at ``embed_chunk`` crops per
+    program (its (N, H, Lv, Lv) attention transient is what bounds the
+    chunk at 11B), the resulting ``vision_states`` are buffered on device,
+    and the TEXT stack — weight-streaming-bound at M≈32 text tokens —
+    runs at ``text_chunk`` crops per program, amortizing each ~5GB int8
+    weight read over N crops instead of ``embed_chunk``. The reference
+    runs one combined 11B forward per crop (``embedder.py:104-137``);
+    the coupled path here dragged the text stack down to the vision
+    chunk. Results equal the coupled path (same ops, split programs).
     """
     family = embedder.config.family
     if family not in ("mme5", "siglip"):
@@ -510,6 +522,10 @@ def build_split_page_fn(
         )
     assert embed_tiles in (1, 4), embed_tiles
     assert num_regions % embed_chunk == 0, (num_regions, embed_chunk)
+    if text_chunk and family != "mme5":
+        raise ValueError(
+            "text_chunk decouples the Mllama vision/text stacks — mme5 only"
+        )
     emb_size = embedder.image_size
     crop_size = emb_size * (2 if embed_tiles == 4 else 1)
     # detector-closure by default: inlining the ~33MB conv tree as program
@@ -585,11 +601,51 @@ def build_split_page_fn(
         def embed_call(crops):
             return embed_fn(emb_vars_dev, crops)
 
+        if text_chunk:
+            # decoupled microbatches (see docstring): vision program at
+            # embed_chunk crops, text program at text_chunk crops over the
+            # buffered vision_states
+            assert num_regions % text_chunk == 0, (num_regions, text_chunk)
+
+            @jax.jit
+            def vision_fn(variables, crops):
+                c = (
+                    crops - jnp.asarray(IMAGE_MEAN, crops.dtype)
+                ) / jnp.asarray(IMAGE_STD, crops.dtype)
+                n = c.shape[0]
+                if embed_tiles == 4:
+                    c = tile_crops_2x2(c, emb_size)
+                    states, _ = emb_model.apply(
+                        variables, c,
+                        jnp.full((n,), ar_id_2x2, jnp.int32),
+                        jnp.ones((n, 4), jnp.int32),
+                        method=emb_model.encode_vision,
+                    )
+                else:
+                    states, _ = emb_model.apply(
+                        variables, c, method=emb_model.encode_vision
+                    )
+                return states
+
+            @jax.jit
+            def text_fn(variables, states):
+                n = states.shape[0]
+                ids = jnp.broadcast_to(prompt_ids, (n, prompt_ids.shape[1]))
+                mask = jnp.broadcast_to(
+                    prompt_mask, (n, prompt_mask.shape[1])
+                )
+                # vision_mask=None: the serving path's tiles are all real,
+                # so the cross-attention key mask is all-true == no mask
+                return emb_model.apply(
+                    variables, ids, mask, states,
+                    method=emb_model.embed_from_vision,
+                )
+
     flops_info: dict = {}
 
     def fn(page) -> PageResult:
         boxes, scores, classes, valid, crops = detect_fn(page)
-        if not flops_info and family == "mme5":
+        if not flops_info and family == "mme5" and not text_chunk:
             # XLA's FLOP estimate of the compiled embed program (for the
             # MFU line of the parity-architecture benchmark — mme5 only;
             # lowering the args-mode embed_fn in the siglip embed_closure
@@ -603,14 +659,27 @@ def build_split_page_fn(
                 )
             except Exception:  # pragma: no cover — analysis is best-effort
                 flops_info["embed_flops_per_chunk"] = None
-        embs = [
-            embed_call(crops[i : i + embed_chunk])
-            for i in range(0, num_regions, embed_chunk)
-        ]
+        if text_chunk:
+            states = jnp.concatenate(
+                [
+                    vision_fn(emb_vars_dev, crops[i : i + embed_chunk])
+                    for i in range(0, num_regions, embed_chunk)
+                ]
+            )
+            embs = [
+                text_fn(emb_vars_dev, states[i : i + text_chunk])
+                for i in range(0, num_regions, text_chunk)
+            ]
+        else:
+            embs = [
+                embed_call(crops[i : i + embed_chunk])
+                for i in range(0, num_regions, embed_chunk)
+            ]
         return PageResult(boxes, scores, classes, valid, jnp.concatenate(embs))
 
     fn._flops_info = flops_info
     fn._chunk = embed_chunk
+    fn._text_chunk = text_chunk or None
     return fn
 
 

@@ -275,6 +275,59 @@ class TestSplitBatch:
                 atol=2e-5,
             )
 
+    def test_decoupled_text_chunk_matches_coupled(self):
+        """text_chunk=N (vision at embed_chunk, text stack at N over the
+        buffered vision_states — the 11B weight-stream amortization) must
+        reproduce the coupled split exactly (same ops, split programs)."""
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.pipeline.fused import (
+            build_split_page_fn,
+        )
+
+        detector, embedder = self._models()
+        coupled = build_split_page_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2,
+            closure_weights=False,
+        )
+        decoupled = build_split_page_fn(
+            detector, embedder, (256, 200), num_regions=4, embed_chunk=2,
+            closure_weights=False, text_chunk=4,
+        )
+        assert decoupled._text_chunk == 4
+        rng = np.random.default_rng(5)
+        page = rng.integers(0, 255, (256, 200, 3)).astype(np.uint8)
+        want = coupled(jnp.asarray(page))
+        got = decoupled(jnp.asarray(page))
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(want.boxes), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.embeddings),
+            np.asarray(want.embeddings),
+            atol=2e-5,
+        )
+        # the decoupling is Mllama-specific: reject other families loudly
+        import pytest as _pytest
+
+        from multimodal_embeddings_tpu.config import EmbedderConfig
+        from multimodal_embeddings_tpu.models.embedder import (
+            MultimodalEmbedder,
+        )
+        from multimodal_embeddings_tpu.models.vision_encoder import (
+            DualEncoderConfig,
+        )
+
+        siglip = MultimodalEmbedder(
+            EmbedderConfig(family="siglip", dtype="float32"),
+            model_config=DualEncoderConfig.tiny(),
+        )
+        with _pytest.raises(ValueError, match="text_chunk"):
+            build_split_page_fn(
+                detector, siglip, (256, 200), num_regions=4, embed_chunk=2,
+                text_chunk=4,
+            )
+
     def test_mesh_sharded_split_batch(self, devices8):
         import jax.numpy as jnp
 
