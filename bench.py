@@ -91,6 +91,7 @@ def build_pipeline(
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
+    text_chunk: int | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -236,6 +237,16 @@ def build_pipeline(
             num_regions=n_regions,
             embed_chunk=mme5_chunk,
             letterbox=letterbox,
+            text_chunk=text_chunk or 0,
+        )
+        # analytic per-crop FLOPs from the model config — independent of
+        # which kernel executes them, unlike XLA cost_analysis, which
+        # cannot see inside the Pallas attention/int8/int4 custom calls
+        # and under-counted the published MFU (ROADMAP chain-13 caveat)
+        from multimodal_embeddings_tpu.utils.flops import mllama_embed_flops
+
+        fused._analytic_flops = mllama_embed_flops(
+            embedder.model_config, embedder.text_len, tiles=1
         )
         return fused, page_hw, n_regions
 
@@ -272,6 +283,7 @@ def run_bench(
     fuse_ln: bool = False,
     closure_weights: str = "none",
     auto_layouts: bool = False,
+    text_chunk: int | None = None,
 ) -> dict:
     import contextlib
 
@@ -289,6 +301,7 @@ def run_bench(
         fuse_ln=fuse_ln,
         closure_weights=closure_weights,
         auto_layouts=auto_layouts,
+        text_chunk=text_chunk,
     )
     page = make_page(*page_hw)
 
@@ -332,6 +345,8 @@ def run_bench(
         "device": str(jax.devices()[0]),
         "flops_info": getattr(fused, "_flops_info", None),
         "mme5_chunk": getattr(fused, "_chunk", None),
+        "text_chunk": getattr(fused, "_text_chunk", None),
+        "analytic_flops": getattr(fused, "_analytic_flops", None),
     }
 
 
@@ -419,6 +434,7 @@ def _cpu_baseline_mme5(path: str) -> None:
     }
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps(out))
 
 
@@ -516,6 +532,7 @@ def _cpu_baseline(path: str) -> None:
     }
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps(out))
 
 
@@ -559,6 +576,15 @@ def main() -> None:
         help="region-embed chunk size for the mme5 two-program split "
         "(default: 8 at 2B, 2 at 11B — the 11B default predates short "
         "tile stacks; explicit values override the size-based default)",
+    )
+    parser.add_argument(
+        "--text-chunk",
+        type=int,
+        default=None,
+        help="mme5 split path: run the TEXT stack at this many crops per "
+        "program over buffered vision states (vision stays at "
+        "--mme5-chunk) — amortizes each int8 weight stream over more "
+        "crops (pipeline/fused.py::build_split_page_fn text_chunk)",
     )
     parser.add_argument(
         "--profile",
@@ -626,6 +652,7 @@ def main() -> None:
         and args.pallas_convs == DEFAULT_PALLAS_CONVS
         and not args.letterbox
         and args.mme5_chunk is None
+        and args.text_chunk is None
         and args.mme5_quantize == DEFAULT_MME5_QUANTIZE
         and args.batch == 1
         and not args.auto_layouts
@@ -666,6 +693,7 @@ def main() -> None:
             fuse_ln=args.fuse_ln,
             closure_weights=args.closure_weights,
             auto_layouts=args.auto_layouts,
+            text_chunk=args.text_chunk,
         )
     except Exception as exc:  # noqa: BLE001 — filtered + re-raised below
         # TPU tunnel outage path (the in-guest relay can die with a prior
@@ -707,38 +735,54 @@ def main() -> None:
 
     if args.family == "mme5":
         if args.mme5_size == "11b" and not args.quick:
-            flops = (info.get("flops_info") or {}).get("embed_flops_per_chunk")
             chunk = info.get("mme5_chunk") or 2
+            tchunk = info.get("text_chunk")
             ms_page = 1e3 / info["pages_per_sec"]
+            # MFU from the ANALYTIC per-crop FLOP count (utils/flops.py) —
+            # XLA cost_analysis cannot see inside the Pallas attention /
+            # int8 / int4 custom calls and under-counted the published MFU
+            # once those became the defaults (ROADMAP chain-13 caveat)
+            aflops = info.get("analytic_flops") or {}
+            per_crop_flops = aflops.get("total_flops_per_crop")
+            mfu = (
+                round(
+                    per_crop_flops * info["n_regions"] / (ms_page / 1e3)
+                    / 197e12,
+                    4,
+                )
+                if per_crop_flops
+                else None
+            )
             out = {
                 "metric": "pages/sec/chip end-to-end, FULL 11B parity "
                 "embedder (detect 30 views @1024 doclayout-yolov10m-glcrm "
                 "+ embed 48 regions @560 mme5-11B Mllama layout, "
                 f"{args.mme5_quantize} weight storage) — fused "
-                f"detect+crop program + compiled embed chunks of {chunk}",
+                f"detect+crop program + compiled embed chunks of {chunk}"
+                + (f" (vision) / {tchunk} (text, decoupled)" if tchunk else ""),
                 "value": round(info["pages_per_sec"], 5),
                 "unit": "pages/sec/chip",
                 "ms_per_page": round(ms_page, 1),
                 "ms_per_crop": round(ms_page / info["n_regions"], 1),
-                "embed_flops_per_chunk_xla_estimate": flops,
-                "mfu_vs_197tflops_bf16": (
-                    round(
-                        flops * (info["n_regions"] / chunk) / (ms_page / 1e3)
-                        / 197e12,
-                        4,
-                    )
-                    if flops
-                    else None
-                ),
+                "embed_flops_per_crop_analytic": per_crop_flops,
+                "embed_flops_per_chunk_xla_estimate": (
+                    info.get("flops_info") or {}
+                ).get("embed_flops_per_chunk"),
+                "mfu_vs_197tflops_bf16": mfu,
                 "methodology": "synthetic int8 weights (zero egress; "
                 "capacity/latency evidence per int8_11b_smoke.py), single "
                 "chip; CPU denominator infeasible at 11B f32 (44GB) — MFU "
-                "vs the chip's 197 TFLOP/s bf16 peak reported instead",
+                "vs the chip's 197 TFLOP/s bf16 peak reported instead, "
+                "FLOPs counted analytically from the model config "
+                "(utils/flops.py; embed stacks only — the detect program's "
+                "share of page time carries no counted FLOPs, so the "
+                "figure is conservative)",
                 "measured": time.strftime("%Y-%m-%d"),
             }
             if args.record:
                 with open(os.path.join(here, "BENCH_MME5_11B.json"), "w") as f:
                     json.dump(out, f, indent=2)
+                    f.write("\n")
             print(json.dumps({k: out[k] for k in ("metric", "value", "unit",
                                                   "ms_per_crop",
                                                   "mfu_vs_197tflops_bf16")}))
@@ -768,6 +812,7 @@ def main() -> None:
                     f,
                     indent=2,
                 )
+                f.write("\n")
         print(
             json.dumps(
                 {
@@ -803,6 +848,7 @@ def main() -> None:
         # the outage-degradation record (see the except path in main)
         with open(last_good_path, "w") as f:
             json.dump({**line, "measured": time.strftime("%Y-%m-%d %H:%M")}, f, indent=2)
+            f.write("\n")
     print(json.dumps(line))
 
 
