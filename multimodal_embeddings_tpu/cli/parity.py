@@ -35,7 +35,86 @@ def build_parser() -> argparse.ArgumentParser:
     emb.add_argument("reference_db")
     emb.add_argument("candidate_db")
     emb.add_argument("--out", default=None)
+
+    dump = sub.add_parser(
+        "acts-dump",
+        help="golden-activation dump: deterministic probe -> per-layer "
+        "statistics JSON (first-contact checkpoint validation; the torch "
+        "side of the comparison is scripts/hf_activation_dump.py)",
+    )
+    dump.add_argument("--family", choices=("detector", "mme5"), required=True)
+    dump.add_argument("--out", required=True)
+    dump.add_argument("--checkpoint", default=None, help="ported weights (npz/safetensors)")
+    dump.add_argument("--seed", type=int, default=0)
+    dump.add_argument(
+        "--size",
+        choices=("tiny", "2b", "11b"),
+        default="tiny",
+        help="mme5 architecture size (checkpoint runs want 11b; the tiny "
+        "default keeps checkpoint-less self-tests cheap)",
+    )
+    dump.add_argument("--variant", default="m", help="detector YOLO variant")
+    dump.add_argument("--imgsz", type=int, default=1024)
+    dump.add_argument(
+        "--taps", default=None, help="regex restricting dumped module paths"
+    )
+
+    comp = sub.add_parser(
+        "acts-compare", help="layer-by-layer comparison of two dumps"
+    )
+    comp.add_argument("reference_json")
+    comp.add_argument("candidate_json")
+    comp.add_argument("--rtol", type=float, default=1e-2)
+    comp.add_argument("--atol", type=float, default=1e-4)
+    comp.add_argument(
+        "--map",
+        dest="name_map",
+        default=None,
+        help="JSON file mapping reference layer names to candidate names "
+        "(for torch-side dumps whose module paths differ)",
+    )
+    comp.add_argument("--out", default=None)
     return parser
+
+
+def _acts_dump(args) -> dict:
+    from multimodal_embeddings_tpu.analysis import activations as acts
+
+    if args.family == "detector":
+        from multimodal_embeddings_tpu.config import DetectorConfig
+        from multimodal_embeddings_tpu.models.detector import LayoutDetector
+
+        detector = LayoutDetector(
+            DetectorConfig(
+                variant=args.variant,
+                image_size=args.imgsz,
+                weights_path=args.checkpoint,
+            )
+        )
+        trace = acts.detector_trace(detector, seed=args.seed, taps=args.taps)
+    else:
+        from multimodal_embeddings_tpu.config import EmbedderConfig
+        from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder
+        from multimodal_embeddings_tpu.models.mme5 import MllamaConfig
+
+        model_config = {
+            "tiny": MllamaConfig.tiny,
+            "2b": MllamaConfig.mme5_2b,
+            "11b": MllamaConfig.mme5_11b,
+        }[args.size]()
+        embedder = MultimodalEmbedder(
+            EmbedderConfig(
+                family="mme5", dtype="bfloat16", weights_path=args.checkpoint
+            ),
+            model_config=model_config,
+        )
+        trace = acts.mme5_trace(embedder, seed=args.seed, taps=args.taps)
+    acts.save_trace(trace, args.out)
+    return {
+        "layers": len(trace["layers"]),
+        "out": args.out,
+        "output_shape": (trace.get("output") or {}).get("shape"),
+    }
 
 
 def main(argv=None) -> int:
@@ -43,6 +122,37 @@ def main(argv=None) -> int:
 
     apply_env_platform()
     args = build_parser().parse_args(argv)
+    if args.mode == "acts-dump":
+        print(json.dumps(_acts_dump(args)))
+        return 0
+    if args.mode == "acts-compare":
+        from multimodal_embeddings_tpu.analysis import activations as acts
+
+        name_map = None
+        if args.name_map:
+            with open(args.name_map) as f:
+                name_map = json.load(f)
+        summary = acts.compare_traces(
+            acts.load_trace(args.reference_json),
+            acts.load_trace(args.candidate_json),
+            rtol=args.rtol,
+            atol=args.atol,
+            name_map=name_map,
+        )
+        headline = {
+            "ok": summary["ok"],
+            "layers_compared": summary["layers_compared"],
+            "layers_ok": summary["layers_ok"],
+            "first_divergent": summary["first_divergent"],
+            "output_ok": summary.get("output_ok"),
+        }
+        print(json.dumps(headline))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=2)
+                f.write("\n")
+            logger.info("full report: %s", args.out)
+        return 0 if summary["ok"] else 1
     if args.mode == "boxes":
         summary = compare_detection_dirs(
             args.reference_dir,
