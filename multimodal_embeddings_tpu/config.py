@@ -90,6 +90,11 @@ class DetectorConfig:
     # The low-channel convs run ~10% MFU under XLA (round-2 trace); gate by
     # measurement (bench.py --pallas-convs N).
     pallas_convs: int = 0
+    # Layout-boundary placement for the Pallas conv route: "stage" keeps
+    # the whole G2L_CRM stage NCHW (one transpose in/out at the stage
+    # edge, 1x1s as channel matmuls); "block" is the round-3 per-
+    # bottleneck round-trip variant (measured 2% detect loss).
+    pallas_mode: str = "stage"
     # Stage-1 multigrid path: letterbox all 30 views on device (matmul
     # resize) instead of per-view host resizes — one extra extraction
     # program compile per distinct page shape (persistently cached), large

@@ -90,6 +90,7 @@ class LayoutDetector:
             s2d_stem=config.s2d_stem,
             glcrm=config.glcrm,
             pallas_convs=config.pallas_convs,
+            pallas_mode=getattr(config, "pallas_mode", "stage"),
             dtype=dtype,
         )
         example = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)

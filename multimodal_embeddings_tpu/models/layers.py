@@ -221,11 +221,15 @@ class _FoldedConvBn(nn.Module):
 
     in_channels: int
     out_channels: int
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self):
         kernel = _ConvKernelParam(
-            self.in_channels, self.out_channels, name="conv"
+            self.in_channels,
+            self.out_channels,
+            kernel_size=self.kernel_size,
+            name="conv",
         )()
         scale, bias, mean, var = _BnParams(self.out_channels, name="bn")()
         # matches ConvBnAct's nn.BatchNorm(epsilon=1e-3)
@@ -234,6 +238,45 @@ class _FoldedConvBn(nn.Module):
         w = kernel.astype(jnp.float32) * g  # broadcast over out axis (last)
         b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * g
         return jnp.transpose(w, (3, 2, 0, 1)), b  # OIHW
+
+
+class _ConvParams(nn.Module):
+    """Declares exactly ``nn.Conv(use_bias=True)``'s parameters (kernel
+    HWIO + bias) without the conv call — the NCHW stage path evaluates the
+    CRM gate as a channel matmul on the same checkpoint tree."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, self.in_channels, self.out_channels),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,)
+        )
+        return kernel, bias
+
+
+def _pw_nchw(x, w_oi, bias=None, act: str = "none", dtype=None):
+    """Pointwise (1×1) conv in NCHW as a channel contraction:
+    ``out[n,o,h,w] = Σ_c w[o,c]·x[n,c,h,w] (+ b[o])``. XLA tiles H·W on
+    MXU lanes, so low channel counts don't waste the array the way
+    C-on-lanes NHWC 1×1 convs do at C≤96."""
+    if dtype is not None:
+        x = x.astype(dtype)
+        w_oi = w_oi.astype(dtype)
+    y = jnp.einsum("oc,nchw->nohw", w_oi, x)
+    if bias is not None:
+        y = y + bias.reshape(1, -1, 1, 1).astype(y.dtype)
+    if act == "silu":
+        y = nn.silu(y)
+    return y
 
 
 class CRMBottleneck(nn.Module):
@@ -258,11 +301,14 @@ class CRMBottleneck(nn.Module):
     shortcut: bool = True
     dilation: int = 2
     pallas: bool = False
+    nchw_io: bool = False  # stage path: x and return value are NCHW
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.out_channels
+        if self.nchw_io:
+            return self._nchw_forward(x)
         if self.pallas and not train:
             return self._pallas_forward(x)
         y = ConvBnAct(
@@ -299,6 +345,32 @@ class CRMBottleneck(nn.Module):
             return x + y
         return y
 
+    def _nchw_forward(self, x):
+        """Stage-resident NCHW path (inference): input AND output are
+        NCHW — the layout boundary lives at the G2L_CRM stage edge, not
+        around every block (the round-3 per-block integration lost its
+        standalone 20-27% by paying two relayouts per bottleneck). The
+        gate runs as a channel matmul on the same ``gate`` params."""
+        from multimodal_embeddings_tpu.kernels.conv import conv3x3_nchw
+
+        c = self.out_channels
+        w1, b1 = _FoldedConvBn(x.shape[1], c, name="cv1")()
+        w2, b2 = _FoldedConvBn(c, c, name="cv2")()
+        gk, gb = _ConvParams(x.shape[1], c, name="gate")()
+        y = conv3x3_nchw(
+            x.astype(self.dtype),
+            w1.astype(self.dtype),
+            b1,
+            act="silu",
+            dilation=self.dilation,
+        )
+        y = conv3x3_nchw(y, w2.astype(self.dtype), b2, act="silu")
+        gate = _pw_nchw(x, gk[0, 0].T, gb, dtype=self.dtype)
+        y = y * nn.sigmoid(gate)
+        if self.shortcut and x.shape[1] == c:
+            return x + y
+        return y
+
 
 class G2L_CRM(nn.Module):
     """Global-to-local controllable receptive module: the C2f CSP scaffold
@@ -314,11 +386,21 @@ class G2L_CRM(nn.Module):
     # use the Pallas NCHW conv path in the inner blocks when their channel
     # count is <= this (0 disables; 48/96 are the measured-win widths)
     pallas_max_channels: int = 0
+    # "block": per-bottleneck NHWC<->NCHW round trips (round-3 integration,
+    # measured 2% detect loss); "stage": ONE layout boundary at the stage
+    # edge — cv1/cv2/gates run as NCHW channel matmuls, the inner 3x3s hit
+    # the Pallas kernel with no relayouts between blocks, and the boundary
+    # transposes sit directly against the neighbouring XLA convs where
+    # layout assignment can absorb them
+    pallas_mode: str = "stage"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = int(self.out_channels * self.expansion)
+        use_pallas = 0 < c <= self.pallas_max_channels and not train
+        if use_pallas and self.pallas_mode == "stage":
+            return self._stage_nchw(x, c)
         y = ConvBnAct(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
         parts = [y[..., :c], y[..., c:]]
         for i in range(self.n):
@@ -327,13 +409,38 @@ class G2L_CRM(nn.Module):
                     c,
                     shortcut=self.shortcut,
                     dilation=self.dilation,
-                    pallas=0 < c <= self.pallas_max_channels,
+                    pallas=use_pallas,
                     dtype=self.dtype,
                     name=f"m{i}",
                 )(parts[-1], train)
             )
         y = jnp.concatenate(parts, axis=-1)
         return ConvBnAct(self.out_channels, 1, dtype=self.dtype, name="cv2")(y, train)
+
+    def _stage_nchw(self, x, c):
+        """Whole-stage NCHW evaluation (inference). Same parameter tree as
+        the NHWC path (cv1/m{i}/cv2 scopes via the folded param modules)."""
+        w1, b1 = _FoldedConvBn(x.shape[-1], 2 * c, kernel_size=1, name="cv1")()
+        xt = jnp.transpose(x.astype(self.dtype), (0, 3, 1, 2))  # stage entry
+        y = _pw_nchw(xt, w1[:, :, 0, 0], b1, act="silu", dtype=self.dtype)
+        parts = [y[:, :c], y[:, c:]]
+        for i in range(self.n):
+            parts.append(
+                CRMBottleneck(
+                    c,
+                    shortcut=self.shortcut,
+                    dilation=self.dilation,
+                    nchw_io=True,
+                    dtype=self.dtype,
+                    name=f"m{i}",
+                )(parts[-1])
+            )
+        y = jnp.concatenate(parts, axis=1)
+        w2, b2 = _FoldedConvBn(
+            (2 + self.n) * c, self.out_channels, kernel_size=1, name="cv2"
+        )()
+        y = _pw_nchw(y, w2[:, :, 0, 0], b2, act="silu", dtype=self.dtype)
+        return jnp.transpose(y, (0, 2, 3, 1))  # stage exit
 
 
 class SCDown(nn.Module):

@@ -77,6 +77,7 @@ class Backbone(nn.Module):
     s2d_stem: bool = False
     glcrm: bool = False
     pallas_convs: int = 0  # max CRM inner channels routed to the Pallas conv
+    pallas_mode: str = "stage"  # "stage" | "block" layout boundary placement
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,7 +88,8 @@ class Backbone(nn.Module):
             if self.glcrm:
                 return G2L_CRM(
                     ch, n, dilation=dilation, shortcut=True,
-                    pallas_max_channels=self.pallas_convs, dtype=dt, name=name
+                    pallas_max_channels=self.pallas_convs,
+                    pallas_mode=self.pallas_mode, dtype=dt, name=name
                 )
             return C2f(ch, n, shortcut=True, dtype=dt, name=name)
 
@@ -188,6 +190,7 @@ class DocLayoutYOLO(nn.Module):
     s2d_stem: bool = False
     glcrm: bool = False
     pallas_convs: int = 0
+    pallas_mode: str = "stage"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -200,6 +203,7 @@ class DocLayoutYOLO(nn.Module):
             s2d_stem=self.s2d_stem,
             glcrm=self.glcrm,
             pallas_convs=self.pallas_convs,
+            pallas_mode=self.pallas_mode,
             dtype=self.dtype,
             name="backbone",
         )(x, train)

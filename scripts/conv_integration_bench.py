@@ -91,7 +91,7 @@ def bench_stage(pallas: bool, batch=30, size=256, ch=96, n=2):
             "ch": ch, "ms": round(dt * 1e3, 3)}
 
 
-def bench_detect(pallas_convs: int, views=30, size=1024):
+def bench_detect(pallas_convs: int, views=30, size=1024, pallas_mode="stage"):
     import jax.numpy as jnp
     import numpy as np
 
@@ -99,7 +99,12 @@ def bench_detect(pallas_convs: int, views=30, size=1024):
     from multimodal_embeddings_tpu.models.detector import LayoutDetector
     from multimodal_embeddings_tpu.models.yolo_decode import decode_predictions
 
-    cfg = DetectorConfig(image_size=size, variant="m", pallas_convs=pallas_convs)
+    cfg = DetectorConfig(
+        image_size=size,
+        variant="m",
+        pallas_convs=pallas_convs,
+        pallas_mode=pallas_mode,
+    )
     det = LayoutDetector(cfg, dtype=jnp.bfloat16)
     variables = jax.tree.map(
         lambda a: jnp.asarray(np.asarray(a)), det.variables
@@ -129,7 +134,8 @@ def main():
     parser.add_argument(
         "--mode", required=True,
         choices=["stage48", "stage48-xla", "stage96", "stage96-xla",
-                 "detect0", "detect48", "detect96"],
+                 "detect0", "detect48", "detect96",
+                 "detect48-block", "detect96-block"],
     )
     args = parser.parse_args()
     _setup()
@@ -138,7 +144,12 @@ def main():
     elif args.mode.startswith("stage96"):
         out = bench_stage("xla" not in args.mode, batch=30, size=128, ch=192, n=4)
     else:
-        out = bench_detect(int(args.mode.replace("detect", "")))
+        spec = args.mode.replace("detect", "")
+        pallas_mode = "block" if spec.endswith("-block") else "stage"
+        out = bench_detect(
+            int(spec.replace("-block", "")), pallas_mode=pallas_mode
+        )
+        out["pallas_mode"] = pallas_mode
     print(json.dumps(out))
 
 

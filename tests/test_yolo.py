@@ -348,13 +348,62 @@ class TestPallasConvs:
             np.asarray(out_a), np.asarray(out_b), atol=2e-4
         )
 
-    def test_full_model_outputs_match(self):
+    def test_stage_nchw_tree_and_outputs_match(self):
+        """Whole-stage NCHW G2L_CRM (one layout boundary at the stage edge,
+        1x1s as channel matmuls) is checkpoint-tree-identical and output-
+        equivalent to the NHWC stage, including non-default BN stats."""
+        import jax.tree_util as jtu
+        from flax.core import unfreeze
+
+        from multimodal_embeddings_tpu.models.layers import G2L_CRM
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))
+        plain = G2L_CRM(24, n=2, dilation=2)
+        staged = G2L_CRM(24, n=2, dilation=2, pallas_max_channels=96)
+        variables = unfreeze(plain.init(jax.random.PRNGKey(2), x))
+        tree_a = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(variables)
+        }
+        tree_b = {
+            jtu.keystr(k): tuple(v.shape)
+            for k, v in jtu.tree_leaves_with_path(
+                staged.init(jax.random.PRNGKey(2), x)
+            )
+        }
+        assert tree_a == tree_b
+        va = jtu.tree_leaves(variables)
+        vb = jtu.tree_leaves(staged.init(jax.random.PRNGKey(2), x))
+        for a, b in zip(va, vb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # nontrivial BN statistics exercise the 1x1 folding arithmetic
+        for cv in ("cv1", "cv2"):
+            bn = variables["batch_stats"][cv]["bn"]
+            bn["mean"] = jnp.asarray(
+                rng.normal(size=bn["mean"].shape).astype(np.float32)
+            )
+            bn["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, bn["var"].shape).astype(np.float32)
+            )
+        out_a = plain.apply(variables, x, train=False)
+        out_b = staged.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-4
+        )
+
+    @pytest.mark.parametrize("mode", ["stage", "block"])
+    def test_full_model_outputs_match(self, mode):
         """Whole GL-CRM detector with pallas_convs routes c2f_2/c2f_3 inner
         blocks through the kernel and matches the XLA path from the same
         checkpoint."""
         model_a = DocLayoutYOLO(num_classes=10, variant="n", glcrm=True)
         model_b = DocLayoutYOLO(
-            num_classes=10, variant="n", glcrm=True, pallas_convs=96
+            num_classes=10,
+            variant="n",
+            glcrm=True,
+            pallas_convs=96,
+            pallas_mode=mode,
         )
         x = jnp.asarray(
             np.random.default_rng(7).uniform(0, 1, (1, 128, 128, 3)).astype(
