@@ -85,6 +85,8 @@ def _make_detect_crop(
     detector: LayoutDetector, page_hw, num_regions, emb_size,
     letterbox: bool = False,
     edge_filter: bool = True,
+    candidate_cap: int = 4,
+    resize_dtype=jnp.bfloat16,
 ):
     """Shared traced section: page → views → batched detect → page-coord
     NMS → top-K boxes → on-device region crops. Returned fn is meant to be
@@ -142,8 +144,11 @@ def _make_detect_crop(
         # advisor r2 finding).
         # bf16 payloads through the resampling stages: halves the HBM
         # traffic of the page-sized gathers/matmuls; weight rounding stays
-        # below one uint8 LSB (models compute in bf16 anyway)
-        pagef = page.astype(jnp.bfloat16)
+        # below one uint8 LSB (models compute in bf16 anyway).
+        # resize_dtype=f32 is the parity-diagnostic variant: it isolates
+        # how much of the serve-vs-exact box disagreement is resize
+        # precision vs selection semantics (scripts/serve_parity.py)
+        pagef = page.astype(resize_dtype)
         # 1. all views via static slices + matmul resize — MXU work instead
         # of per-pixel gathers (aspect-squeeze resize; the standalone CLI
         # path letterboxes instead — detection-equivalent at these aspect
@@ -157,7 +162,7 @@ def _make_detect_crop(
                 letterbox_views_matmul(pagef, view_bounds, det_size)[0]
                 .astype(jnp.bfloat16)
                 / 255.0
-            )
+            )  # detector computes in bf16 regardless of resize precision
         else:
             view_imgs = (
                 extract_views_matmul(
@@ -205,8 +210,15 @@ def _make_detect_crop(
         # cross-view dedup: the same physical region is detected in several
         # overlapping views — apply the stage-3 class-aware greedy NMS
         # (IoU 0.5, 3_combine_grids.py:80-138 semantics) over the strongest
-        # candidates before selecting the final top-K
-        n_cand = min(4 * num_regions, flat_scores.shape[0])
+        # candidates before selecting the final top-K. candidate_cap bounds
+        # the padded-NMS problem size at cap*num_regions (<=0 = ALL view
+        # boxes, the exact chain's combine semantics; serve_parity.py A/Bs
+        # the accuracy/throughput frontier of the cap)
+        n_cand = (
+            flat_scores.shape[0]
+            if candidate_cap <= 0
+            else min(candidate_cap * num_regions, flat_scores.shape[0])
+        )
         cand_scores, cand_idx = jax.lax.top_k(flat_scores, n_cand)
         cand_boxes = page_boxes[cand_idx]
         cand_classes = flat_classes[cand_idx]
@@ -249,6 +261,8 @@ def build_fused_detect_fn(
     letterbox: bool = False,
     edge_filter: bool = True,
     closure_weights: bool = False,
+    candidate_cap: int = 4,
+    resize_dtype=jnp.bfloat16,
 ):
     """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
     embedding forward: the two-program serving split for embedders whose
@@ -262,7 +276,8 @@ def build_fused_detect_fn(
     compiler's HLO serialization — advisor r2 / CLAUDE.md)."""
     detect_and_crop = _make_detect_crop(
         detector, page_hw, num_regions, emb_size, letterbox=letterbox,
-        edge_filter=edge_filter,
+        edge_filter=edge_filter, candidate_cap=candidate_cap,
+        resize_dtype=resize_dtype,
     )
     det_vars = _device_vars(detector.variables)
     if closure_weights:

@@ -159,16 +159,29 @@ def main() -> None:
 
     # --- (b) serve path, both resize variants ----------------------------
     results = {}
-    for variant, letterbox, edge_filter in (
-        ("squeeze", False, True),
-        ("letterbox", True, True),
-        ("letterbox_noedge", True, False),  # pre-r3 serving semantics
-    ):
+    variants = [
+        ("squeeze", False, True, 4),
+        ("letterbox", True, True, 4),
+        ("letterbox_noedge", True, False, 4),  # pre-r3 serving semantics
+        # candidate-cap A/B (VERDICT r3 item 3): the 4*num_regions top-k
+        # before the cross-view NMS is a serve-only approximation of the
+        # exact chain's combine-over-ALL-boxes; widen it and measure
+        ("letterbox_cap16", True, True, 16),
+        ("letterbox_cap64", True, True, 64),
+        # f32 view resize: isolates resize PRECISION from selection
+        # semantics in the residual serve-vs-exact gap
+        ("letterbox_f32resize", True, True, 4),
+    ]
+    for variant, letterbox, edge_filter, cap in variants:
         fn = build_fused_detect_fn(
             detector, page_hw, num_regions=num_regions, emb_size=64,
-            letterbox=letterbox, edge_filter=edge_filter,
+            letterbox=letterbox, edge_filter=edge_filter, candidate_cap=cap,
+            resize_dtype=jnp.float32
+            if variant == "letterbox_f32resize"
+            else jnp.bfloat16,
         )
         rows = []
+        t_variant = time.time()
         for i, page in enumerate(pages):
             boxes, scores, classes, valid, _ = fn(jnp.asarray(page))
             v = np.asarray(valid)
@@ -193,6 +206,7 @@ def main() -> None:
             "precision": round(agg("precision"), 4),
             "recall_topk": round(agg("recall_topk"), 4),
             "mean_matched_iou": round(agg("mean_matched_iou"), 4),
+            "seconds_incl_compile": round(time.time() - t_variant, 1),
         }
 
     out = {
@@ -209,9 +223,7 @@ def main() -> None:
             "backend": jax.default_backend(),
         },
         "exact_chain_seconds": round(exact_s, 1),
-        "squeeze": results["squeeze"],
-        "letterbox": results["letterbox"],
-        "letterbox_noedge": results["letterbox_noedge"],
+        **results,
         "measured": time.strftime("%Y-%m-%d"),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
