@@ -607,50 +607,29 @@ class QwenVLModel(nn.Module):
 _GENERATE_CACHE: dict = {}
 
 
-def greedy_generate(
-    model: QwenVLModel,
-    variables,
-    token_ids: np.ndarray,
-    images: Optional[np.ndarray] = None,
-    max_new_tokens: int = 128,
-) -> np.ndarray:
-    """Greedy decoding with a static KV cache under ``lax.scan``.
+def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int):
+    """Jitted (prefill, decode) pair for greedy generation.
 
-    Returns the generated token ids (B, max_new_tokens); positions after
-    EOS are padded with EOS. Jitted prefill/decode programs are cached per
-    (model, variables, shapes) so repeated page parses reuse compiles.
+    Both take the parameter tree as their FIRST ARGUMENT — closed-over
+    multi-GB weight trees are inlined into the HLO as constants, which
+    stalls/kills the remote compiler at 3B+ parse scale (CLAUDE.md; the
+    same rule the mme5 embed path follows in ``pipeline/fused.py``).
+
+    ``prefill(variables, tokens, imgs) -> (last_logits, caches, delta)``;
+    ``decode(variables, last_logits, caches, delta) -> (B, T) token ids``
+    — the whole ``max_new_tokens`` greedy loop is ONE on-device
+    ``lax.scan`` program (no per-token host dispatch; through the axon
+    tunnel a per-token loop would pay the ~4ms dispatch floor 1024×).
     """
     eos = model.config.eos_id
-    prompt = jnp.asarray(token_ids)
-    b, prompt_len = prompt.shape
-    if prompt_len + max_new_tokens > model.config.text.max_len:
-        raise ValueError(
-            f"prompt_len {prompt_len} + max_new_tokens {max_new_tokens} "
-            f"exceeds max_len {model.config.text.max_len} — the KV cache and "
-            "RoPE tables would silently clamp"
-        )
-
-    img_shape = None if images is None else tuple(np.shape(images))
-    cache_key = (id(model), id(variables), b, prompt_len, max_new_tokens, img_shape)
-    cached = _GENERATE_CACHE.get(cache_key)
-    if cached is not None:
-        prefill, decode = cached
-        last_logits, caches, delta = prefill(
-            prompt, None if images is None else jnp.asarray(images)
-        )
-        return np.asarray(decode(last_logits, caches, delta))
 
     @jax.jit
-    def prefill(tokens, imgs):
+    def prefill(variables, tokens, imgs):
         logits, caches, delta = model.apply(variables, tokens, imgs)
         return logits[:, -1], caches, delta
 
-    last_logits, caches, delta = prefill(
-        prompt, None if images is None else jnp.asarray(images)
-    )
-
     @jax.jit
-    def decode(last_logits, caches, delta):
+    def decode(variables, last_logits, caches, delta):
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         def step(carry, t):
@@ -674,5 +653,40 @@ def greedy_generate(
         )
         return tokens.transpose(1, 0)  # (B, T)
 
-    _GENERATE_CACHE[cache_key] = (prefill, decode)
-    return np.asarray(decode(last_logits, caches, delta))
+    return prefill, decode
+
+
+def greedy_generate(
+    model: QwenVLModel,
+    variables,
+    token_ids: np.ndarray,
+    images: Optional[np.ndarray] = None,
+    max_new_tokens: int = 128,
+) -> np.ndarray:
+    """Greedy decoding with a static KV cache under ``lax.scan``.
+
+    Returns the generated token ids (B, max_new_tokens); positions after
+    EOS are padded with EOS. Jitted prefill/decode programs are cached per
+    (model, shapes) so repeated page parses reuse compiles; weights travel
+    as jit arguments (``build_generate_fns``).
+    """
+    prompt = jnp.asarray(token_ids)
+    b, prompt_len = prompt.shape
+    if prompt_len + max_new_tokens > model.config.text.max_len:
+        raise ValueError(
+            f"prompt_len {prompt_len} + max_new_tokens {max_new_tokens} "
+            f"exceeds max_len {model.config.text.max_len} — the KV cache and "
+            "RoPE tables would silently clamp"
+        )
+
+    img_shape = None if images is None else tuple(np.shape(images))
+    cache_key = (id(model), b, prompt_len, max_new_tokens, img_shape)
+    cached = _GENERATE_CACHE.get(cache_key)
+    if cached is None:
+        cached = build_generate_fns(model, prompt_len, max_new_tokens)
+        _GENERATE_CACHE[cache_key] = cached
+    prefill, decode = cached
+    last_logits, caches, delta = prefill(
+        variables, prompt, None if images is None else jnp.asarray(images)
+    )
+    return np.asarray(decode(variables, last_logits, caches, delta))

@@ -1,0 +1,268 @@
+"""Parse-surface TPU benchmark: Qwen2.5-VL page→HTML generation rates.
+
+The reference notebook's user-visible capability is
+``model.generate(max_new_tokens=1024)`` producing QwenVL HTML (cell
+``d43bacc8`` of ``/root/reference/QWEN2_5_document_parsing.ipynb``) — the
+one SURVEY capability with no TPU perf evidence through round 3. This
+measures it: prefill latency, decode tokens/sec, and pages/hour for the
+notebook's 1024-token generation, at the sizes that fit one chip
+(3B bf16, 7B-int8).
+
+The whole greedy loop is ONE on-device ``lax.scan`` program
+(``models/qwen_vl.py::build_generate_fns``) and weights travel as jit
+ARGUMENTS — a per-token host loop through the axon tunnel would pay the
+~4ms dispatch floor 1024×, and closed-over multi-GB trees kill the
+remote compiler (CLAUDE.md).
+
+Decode-rate note: the ``done`` flag only pins output tokens to EOS; the
+scan always executes ``max_new_tokens`` steps, so the measured decode
+time is independent of what the (synthetic-weight) model emits —
+capacity/latency-faithful like every synthetic init here.
+
+Run:  python scripts/parse_bench.py --size 3b [--native] [--record]
+      python scripts/parse_bench.py --size 7b-int8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_PAGES = "/root/reference/newspaper_images"
+
+
+def _setup(force_cpu: bool = False):
+    import jax
+
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if force_cpu:
+        # JAX_PLATFORMS is force-preset to axon pre-import (CLAUDE.md) and
+        # merely loading the plugin holds the TPU lock — smoke runs must
+        # drop it via config, not env
+        jax.config.update("jax_platforms", "cpu")
+    elif platforms and "cpu" not in platforms:
+        # keep the host CPU backend available for parameter init
+        jax.config.update("jax_platforms", platforms + ",cpu")
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _pick_page(explicit: str | None) -> str | None:
+    if explicit:
+        return explicit
+    if os.path.isdir(REFERENCE_PAGES):
+        from multimodal_embeddings_tpu.io.images import get_image_paths
+
+        paths = get_image_paths(REFERENCE_PAGES)
+        if paths:
+            return paths[0]
+    return None
+
+
+def build_model_and_variables(size: str):
+    """Model + synthetic weights WITHOUT touching the TPU for init:
+    quantized trees come straight from eval_shape (numpy), bf16 trees from
+    a host-CPU init cast down (the 3B f32 twin is ~15GB host RAM,
+    fine; it must never be the jit-closure route)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.linen as fnn
+
+    from multimodal_embeddings_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLModel,
+    )
+
+    import dataclasses as _dc
+
+    config = {
+        "tiny": QwenVLConfig.tiny,
+        "tiny-int8": lambda: _dc.replace(QwenVLConfig.tiny(), quantize=True),
+        "3b": QwenVLConfig.qwen25_vl_3b,
+        "7b": QwenVLConfig.qwen25_vl_7b,
+        "7b-int8": QwenVLConfig.qwen25_vl_7b_int8,
+        "32b-int4": QwenVLConfig.qwen25_vl_32b_int4,
+    }[size]()
+    model = QwenVLModel(config)
+
+    unit = config.vision.patch_size * config.vision.merge_size
+    ids = np.ones((1, 8), np.int32)
+    imgs = np.zeros((1, unit * 2, unit * 2, 3), np.float32)
+
+    if config.quantize:
+        from multimodal_embeddings_tpu.models.quantized import (
+            synthetic_int8_init,
+        )
+
+        variables = fnn.unbox(synthetic_int8_init(model, (ids, imgs)))
+    else:
+        from multimodal_embeddings_tpu.models.weights import init_on_host
+
+        variables = fnn.unbox(
+            init_on_host(
+                lambda: model.init(jax.random.PRNGKey(0), ids, imgs)
+            )
+        )
+        # store bf16: the model computes in bf16 anyway and a 3B f32
+        # argument tree wastes HBM + transfer
+        variables = jax.tree.map(
+            lambda x: np.asarray(x).astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32
+            else x,
+            variables,
+        )
+    return model, variables
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--size", default="3b",
+        choices=["tiny", "tiny-int8", "3b", "7b", "7b-int8", "32b-int4"],
+    )
+    parser.add_argument("--image_size", type=int, default=448)
+    parser.add_argument(
+        "--native", action="store_true",
+        help="notebook-fidelity native resolution: smart_resize the page "
+        "into the HF default 1280*28*28 pixel budget instead of a fixed "
+        "square",
+    )
+    parser.add_argument("--max_new_tokens", type=int, default=1024)
+    parser.add_argument("--page", default=None)
+    parser.add_argument("--iters", type=int, default=2)
+    parser.add_argument(
+        "--record", action="store_true",
+        help="merge this result into BENCH_PARSE.json keyed by config",
+    )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the host CPU backend (smoke runs must not hold the "
+        "TPU tunnel lock)",
+    )
+    args = parser.parse_args()
+    _setup(force_cpu=args.cpu)
+
+    import numpy as np
+    from PIL import Image
+
+    from multimodal_embeddings_tpu.analysis.doc_parser import (
+        DocumentParser,
+        smart_resize,
+        round_to_patch_grid,
+    )
+    from multimodal_embeddings_tpu.models.qwen_vl import build_generate_fns
+    from multimodal_embeddings_tpu.models.tokenizer import ByteTokenizer
+
+    t0 = time.perf_counter()
+    model, variables = build_model_and_variables(args.size)
+    init_s = time.perf_counter() - t0
+
+    cfg = model.config
+    unit = cfg.vision.patch_size * cfg.vision.merge_size
+    max_new = args.max_new_tokens
+    if args.size.startswith("tiny"):
+        args.image_size = unit * 2
+        max_new = min(max_new, 16)
+
+    page = _pick_page(args.page)
+    if page:
+        image = Image.open(page).convert("RGB")
+    else:  # synthetic fallback (no reference mount)
+        image = Image.new("RGB", (1700, 2200), "white")
+
+    if args.native:
+        input_h, input_w = smart_resize(
+            image.height, image.width, factor=unit,
+            min_pixels=unit * unit, max_pixels=1280 * 28 * 28,
+        )
+    else:
+        input_w, input_h = round_to_patch_grid(
+            args.image_size, args.image_size,
+            cfg.vision.patch_size, cfg.vision.merge_size,
+        )
+    arr = (
+        np.asarray(image.resize((input_w, input_h), Image.BILINEAR), np.float32)[None]
+        / 255.0
+    )
+    n_tokens = (input_h // unit) * (input_w // unit)
+    prompt_budget = cfg.text.max_len - max_new
+    doc = DocumentParser(model, variables, ByteTokenizer())
+    ids = doc.build_prompt_ids(n_tokens, prompt_budget)
+    prompt_len = ids.shape[1]
+
+    prefill, decode = build_generate_fns(model, prompt_len, max_new)
+
+    # --- compile + warm ---
+    t0 = time.perf_counter()
+    last_logits, caches, delta = prefill(variables, ids, arr)
+    np.asarray(last_logits[0, :2])  # value fetch = real barrier (CLAUDE.md)
+    prefill_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tokens = decode(variables, last_logits, caches, delta)
+    np.asarray(tokens[0, :2])
+    decode_compile_s = time.perf_counter() - t0
+
+    # --- timed ---
+    pre_ts, dec_ts = [], []
+    for _ in range(max(1, args.iters)):
+        t0 = time.perf_counter()
+        last_logits, caches, delta = prefill(variables, ids, arr)
+        np.asarray(last_logits[0, :2])
+        pre_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        tokens = decode(variables, last_logits, caches, delta)
+        np.asarray(tokens[0, :2])
+        dec_ts.append(time.perf_counter() - t0)
+
+    prefill_s = min(pre_ts)
+    decode_s = min(dec_ts)
+    tok_per_s = max_new / decode_s
+    page_s = prefill_s + decode_s
+    result = {
+        "metric": (
+            f"Qwen2.5-VL-{args.size} page parse (prompt {prompt_len} tokens "
+            f"incl. {n_tokens} image tokens @ {input_w}x{input_h}, "
+            f"{max_new} new tokens, greedy lax.scan decode)"
+        ),
+        "size": args.size,
+        "input_wh": [input_w, input_h],
+        "prompt_len": int(prompt_len),
+        "max_new_tokens": int(max_new),
+        "prefill_ms": round(prefill_s * 1e3, 1),
+        "decode_tokens_per_sec": round(tok_per_s, 2),
+        "ms_per_token": round(decode_s * 1e3 / max_new, 3),
+        "page_seconds": round(page_s, 3),
+        "pages_per_hour": round(3600.0 / page_s, 1),
+        "init_s": round(init_s, 1),
+        "compile_s": [round(prefill_compile_s, 1), round(decode_compile_s, 1)],
+    }
+    print(json.dumps(result))
+
+    if args.record:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_PARSE.json")
+        key = f"{args.size}{'_native' if args.native else ''}"
+        try:
+            with open(path) as f:
+                record = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            record = {}
+        import datetime
+
+        result["date"] = datetime.date.today().isoformat()
+        record[key] = result
+        with open(path, "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
