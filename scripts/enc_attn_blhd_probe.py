@@ -230,7 +230,17 @@ def main():
             qf = q.reshape(bb * hh, ll, dd)
             kf = k.reshape(bb * hh, ll, dd)
             vf = v.reshape(bb * hh, ll, ddv)
-            hpb = hh  # one batch row per program, loop heads in-kernel
+            # the wrapper's VMEM head-block budget (encoder_attention):
+            # intermediates + double-buffered in/out blocks within ~13MB
+            # (the first probe run forced hpb=H=12 → ~23MB → Mosaic OOM)
+            import jax.numpy as jnp
+
+            ib = 6 if q.dtype == jnp.bfloat16 else 8
+            inter = ib * ll * ll
+            per_head = 2 * 2 * ll * (dd + ddv) * q.dtype.itemsize
+            hpb = max(1, min(hh, int((13e6 - inter) // max(per_head, 1))))
+            while hh % hpb:
+                hpb -= 1
 
             def spec(depth):
                 return pl.BlockSpec(
@@ -289,7 +299,7 @@ def main():
         out = {
             "variant": variant,
             "shape": args.shape,
-            "error": f"{type(exc).__name__}: {str(exc)[:300]}",
+            "error": f"{type(exc).__name__}: {str(exc)[:1200]}",
         }
     print(json.dumps(out))
 

@@ -97,6 +97,35 @@ class TestModel:
         out2 = greedy_generate(model, variables, prompt, max_new_tokens=6)
         np.testing.assert_array_equal(out, out2)  # deterministic
 
+    def test_generate_fns_take_weights_as_arguments(self, tiny_qwen):
+        """The jitted prefill/decode must treat the parameter tree as a
+        runtime ARGUMENT (closed-over multi-GB trees inline into the HLO
+        and kill the remote compiler at 3B+ parse scale — CLAUDE.md): the
+        same compiled pair must produce different tokens for different
+        weight trees."""
+        import jax
+
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            build_generate_fns,
+        )
+
+        model, variables = tiny_qwen
+        prompt = np.array([[1, 10, 20, 30]], np.int32)
+        prefill, decode = build_generate_fns(model, prompt.shape[1], 6)
+
+        def run(v):
+            last, caches, delta = prefill(v, jnp.asarray(prompt), None)
+            return np.asarray(decode(v, last, caches, delta))
+
+        out_a = run(variables)
+        variables_b = jax.tree.map(lambda x: x * 1.7, variables)
+        out_b = run(variables_b)
+        assert out_a.shape == out_b.shape == (1, 6)
+        # scaled weights change the greedy path; identical outputs would
+        # mean the first tree was baked into the program as constants
+        assert not np.array_equal(out_a, out_b)
+        np.testing.assert_array_equal(out_a, run(variables))
+
 
 class TestHTMLUtils:
     HTML = (
