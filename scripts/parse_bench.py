@@ -164,6 +164,26 @@ def main() -> int:
     model, variables = build_model_and_variables(args.size)
     init_s = time.perf_counter() - t0
 
+    # Upload the weight tree to the device ONCE before timing. Without
+    # this the tree is host numpy and EVERY prefill/decode call re-streams
+    # the full multi-GB tree through the axon tunnel (~35MB/s): the first
+    # recorded 3b run measured 173.9s "prefill" and 157.9 ms/token
+    # "decode" — both ≈ the 6GB tree's tunnel-transfer time, not device
+    # speed. numpy → jnp.asarray (never cross-backend device_put, which
+    # hangs over the tunnel — CLAUDE.md).
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    variables = jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array)
+        else jnp.asarray(np.asarray(x)),
+        variables,
+    )
+    upload_s = time.perf_counter() - t0  # approximate: transfers may
+    # still be in flight; the compile/warm call below consumes them
+    # before the timed loop starts
+
     cfg = model.config
     unit = cfg.vision.patch_size * cfg.vision.merge_size
     max_new = args.max_new_tokens
@@ -241,6 +261,7 @@ def main() -> int:
         "page_seconds": round(page_s, 3),
         "pages_per_hour": round(3600.0 / page_s, 1),
         "init_s": round(init_s, 1),
+        "weights_upload_s": round(upload_s, 1),
         "compile_s": [round(prefill_compile_s, 1), round(decode_compile_s, 1)],
     }
     print(json.dumps(result))
