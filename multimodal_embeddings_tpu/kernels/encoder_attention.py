@@ -205,18 +205,20 @@ def encoder_attention_blhd(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "valid_len", "heads_per_block", "row_block", "interpret"
+        "sm_scale", "valid_len", "heads_per_block", "row_block",
+        "interpret", "bhld_inputs",
     ),
 )
 def encoder_attention(
-    q: jnp.ndarray,  # (B, L, H, D)
-    k: jnp.ndarray,  # (B, L, H, D)
-    v: jnp.ndarray,  # (B, L, H, D)
+    q: jnp.ndarray,  # (B, L, H, D) — or (B, H, L, D) with bhld_inputs
+    k: jnp.ndarray,
+    v: jnp.ndarray,
     sm_scale: Optional[float] = None,
     valid_len: Optional[int] = None,
     heads_per_block: Optional[int] = None,
     row_block: Optional[int] = None,
     interpret: bool = False,
+    bhld_inputs: bool = False,
 ) -> jnp.ndarray:
     """Whole-row single-pass attention for short unmasked encoder shapes.
 
@@ -224,8 +226,18 @@ def encoder_attention(
     tower's 1601-of-1608 prefix. L must be a multiple of the dtype sublane
     tile (16 for bf16); callers pad or take the XLA path otherwise.
     Returns (B, L, H, D) in q's dtype.
+
+    ``bhld_inputs``: inputs AND output are (B, H, L, D) — the flatten to
+    the kernel's (B·H, L, D) slab is a free leading-dim merge instead of
+    a relayout transpose. Callers project q/k/v straight into this layout
+    (``einsum("blc,chd->bhld")``) so the head transpose becomes matmul
+    output indexing (chain r4-06 probe: 5.04 vs 5.42ms at the ViT-B
+    shape).
     """
-    b, l, h, d = q.shape
+    if bhld_inputs:
+        b, h, l, d = q.shape
+    else:
+        b, l, h, d = q.shape
     dv = v.shape[3]  # Dv ≠ Dk supported (the detector's PSA attention
     # runs q/k at half the value width, v10 ratio 0.5)
     if sm_scale is None:
@@ -259,8 +271,11 @@ def encoder_attention(
     assert h % heads_per_block == 0, (h, heads_per_block)
 
     # (B, L, H, D) → (B*H, L, D): D stays minor (full-lane rows), heads
-    # become leading blocks so the kernel indexes them as major rows
+    # become leading blocks so the kernel indexes them as major rows.
+    # bhld inputs skip the transpose: merging leading dims is layout-free.
     def to_bh(x):
+        if bhld_inputs:
+            return x.reshape(b * h, l, x.shape[3])
         return x.transpose(0, 2, 1, 3).reshape(b * h, l, x.shape[3])
 
     def spec(depth):
@@ -285,6 +300,8 @@ def encoder_attention(
         out_shape=jax.ShapeDtypeStruct((b * h, l, dv), q.dtype),
         interpret=interpret,
     )(to_bh(q), to_bh(k), to_bh(v))
+    if bhld_inputs:
+        return out.reshape(b, h, l, dv)
     return out.reshape(b, h, l, dv).transpose(0, 2, 1, 3)
 
 

@@ -110,6 +110,25 @@ def _enc_attn_eligible(q, k, v, mask, causal, pad_to_16: bool = False) -> bool:
     return _on_tpu_backend()
 
 
+def _enc_attn_proj_mode() -> Optional[str]:
+    """Proj-to-BHLD encoder attention: the q/k/v projections emit
+    (B, H, L, D) DIRECTLY and the whole-row kernel consumes the slab
+    without head transposes (``encoder_attention(bhld_inputs=True)``) —
+    the relayout copies become matmul output indexing. Chain r4-06 probe:
+    **+7.1% at the ViT-B shape (5.04 vs 5.42ms), −7% at the detector PSA
+    shape** — so this is a per-site opt-in (the ViT tower), pending the
+    in-model A/B (MMTPU_ENC_ATTN_PROJ=1). Returns "tpu" when enabled on
+    the TPU backend, "interpret" under the CPU test override, else
+    None."""
+    import os
+
+    if os.environ.get("MMTPU_ENC_ATTN_PROJ_INTERPRET") == "1":
+        return "interpret"
+    if os.environ.get("MMTPU_ENC_ATTN_PROJ") == "1" and _on_tpu_backend():
+        return "tpu"
+    return None
+
+
 def _ln_fuse_mode() -> Optional[str]:
     """Where the fused LayerNorm→matmul prologue can run: ``"tpu"`` when
     the Pallas kernel can lower, ``"interpret"`` under the CPU test
@@ -422,6 +441,27 @@ class Attention(nn.Module):
             return self._fused_prologue(
                 x, mask, causal, kv_lengths, pre_ln, key_valid_len
             )
+        if (
+            pre_ln is None
+            and kv is None
+            and mask is None
+            and not causal
+            and kv_lengths is None
+            and key_valid_len is None
+            and not self.use_rope
+            and not self.use_qk_norm
+            and not self.quantize
+            and (self.num_kv_heads or self.num_heads) == self.num_heads
+        ):
+            proj_mode = _enc_attn_proj_mode()
+            l = x.shape[1]
+            if (
+                proj_mode is not None
+                and _ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN
+                and l % 16 == 0
+                and self.head_dim <= 128
+            ):
+                return self._proj_bhld(x, proj_mode)
         kv = x if kv is None else kv
         kvh = self.num_kv_heads or self.num_heads
         if self.quantize:
@@ -508,6 +548,40 @@ class Attention(nn.Module):
             key_valid_len=key_valid_len,
         )
         return self._out_proj(x, out)
+
+    def _proj_bhld(self, x, mode):
+        """Self-attention with q/k/v projected DIRECTLY to (B, H, L, D)
+        and the whole-row kernel consuming the slab without head
+        transposes (``encoder_attention(bhld_inputs=True)``); the out
+        projection contracts straight from (B, H, L, Dv). Param tree
+        identical to the default path (_DenseParams mirrors
+        DenseGeneral's kernel)."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention,
+        )
+
+        d_model = x.shape[-1]
+        h, hd = self.num_heads, self.head_dim
+        wq, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, HEADS, HEAD_DIM), name="q"
+        )()
+        wk, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, KV_HEADS, HEAD_DIM), name="k"
+        )()
+        wv, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, KV_HEADS, HEAD_DIM), name="v"
+        )()
+        xd = x.astype(self.dtype)
+        q = jnp.einsum("blc,chd->bhld", xd, wq.astype(self.dtype))
+        k = jnp.einsum("blc,chd->bhld", xd, wk.astype(self.dtype))
+        v = jnp.einsum("blc,chd->bhld", xd, wv.astype(self.dtype))
+        o = encoder_attention(
+            q, k, v, bhld_inputs=True, interpret=(mode == "interpret")
+        )
+        wo, _ = _DenseParams(
+            (h, hd, d_model), (HEADS, HEAD_DIM, EMBED), name="o"
+        )()
+        return jnp.einsum("bhld,hdc->blc", o, wo.astype(self.dtype))
 
     def _out_proj(self, x, out):
         if self.quantize:

@@ -226,3 +226,87 @@ class TestRowBlocking:
         assert inter + hpb * per_head <= 15e6  # inside the 16MB limit
         # and the whole-row 784 ViT shape stays un-chunked
         assert 784 * 784 * 6 <= 8e6
+
+
+class TestProjBhld:
+    """Proj-to-BHLD path: kernel bhld_inputs + the Attention module's
+    MMTPU_ENC_ATTN_PROJ opt-in (chain r4-06 probe winner at ViT shape)."""
+
+    def test_bhld_inputs_matches_base_kernel(self):
+        rng = np.random.default_rng(7)
+        b, l, h, d = 2, 64, 4, 32
+        mk = lambda: jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            bhld_inputs=True,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base.transpose(0, 2, 1, 3)),
+            atol=1e-6,
+        )
+
+    def test_bhld_inputs_dv_wider_than_dk(self):
+        rng = np.random.default_rng(8)
+        b, l, h, d, dv = 1, 64, 2, 16, 32
+        mk = lambda dd: jnp.asarray(
+            rng.normal(size=(b, h, l, dd)), jnp.float32
+        )
+        q, k, v = mk(d), mk(d), mk(dv)
+        base = encoder_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            interpret=True,
+        )
+        got = encoder_attention(q, k, v, bhld_inputs=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(base.transpose(0, 2, 1, 3)),
+            atol=1e-6,
+        )
+
+    def test_attention_module_proj_path_matches_default(self, monkeypatch):
+        """Same params, same input: the proj-BHLD opt-in must reproduce
+        the default DenseGeneral+sdpa path (param tree is shared)."""
+        from flax.linen import unbox
+
+        from multimodal_embeddings_tpu.models.transformer import Attention
+
+        b, l, d_model, heads = 2, 256, 128, 4  # l >= _ENC_ATTN_MIN_LEN
+        attn = Attention(
+            num_heads=heads, head_dim=d_model // heads, dtype=jnp.float32
+        )
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(b, l, d_model)), jnp.float32)
+        variables = unbox(attn.init(jax.random.PRNGKey(0), x))
+        monkeypatch.delenv("MMTPU_ENC_ATTN_PROJ_INTERPRET", raising=False)
+        base = attn.apply(variables, x)
+        monkeypatch.setenv("MMTPU_ENC_ATTN_PROJ_INTERPRET", "1")
+        got = attn.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=2e-5
+        )
+
+    def test_proj_path_param_tree_identical(self, monkeypatch):
+        """Init under the proj path produces the same tree as default."""
+        from multimodal_embeddings_tpu.models.transformer import Attention
+
+        b, l, d_model, heads = 1, 256, 128, 4
+        attn = Attention(
+            num_heads=heads, head_dim=d_model // heads, dtype=jnp.float32
+        )
+        x = jnp.zeros((b, l, d_model), jnp.float32)
+        monkeypatch.delenv("MMTPU_ENC_ATTN_PROJ_INTERPRET", raising=False)
+        base = attn.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("MMTPU_ENC_ATTN_PROJ_INTERPRET", "1")
+        got = attn.init(jax.random.PRNGKey(0), x)
+        bleaves = jax.tree_util.tree_flatten_with_path(base)[0]
+        gleaves = jax.tree_util.tree_flatten_with_path(got)[0]
+        assert [p for p, _ in bleaves] == [p for p, _ in gleaves]
+        for (_, a), (_, c) in zip(bleaves, gleaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
