@@ -645,7 +645,7 @@ def main() -> None:
         or os.environ.get("MMTPU_F32_LOGITS") == "1"
         or os.environ.get("MMTPU_LN_STATS") == "1"  # opt-in pending A/B
         or os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1"  # opt-in pending A/B
-        or os.environ.get("MMTPU_ENC_ATTN_PROJ") == "1"  # opt-in pending A/B
+        or os.environ.get("MMTPU_ENC_ATTN_PROJ") == "0"  # kernel-off control
     )
     args.record = (
         not env_experiment

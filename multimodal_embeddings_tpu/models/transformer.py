@@ -115,16 +115,18 @@ def _enc_attn_proj_mode() -> Optional[str]:
     (B, H, L, D) DIRECTLY and the whole-row kernel consumes the slab
     without head transposes (``encoder_attention(bhld_inputs=True)``) —
     the relayout copies become matmul output indexing. Chain r4-06 probe:
-    **+7.1% at the ViT-B shape (5.04 vs 5.42ms), −7% at the detector PSA
-    shape** — so this is a per-site opt-in (the ViT tower), pending the
-    in-model A/B (MMTPU_ENC_ATTN_PROJ=1). Returns "tpu" when enabled on
+    +7.1% at the ViT-B shape (5.04 vs 5.42ms), −7% at the detector PSA
+    shape (which is untouched: the PSA calls ``sdpa`` directly, not this
+    module). **DEFAULT ON since the in-model win: headline 5.9563 vs
+    5.8491 pages/sec (+1.8%, chain r4-07 A/B, 2026-08-19).**
+    ``MMTPU_ENC_ATTN_PROJ=0`` opts out (A/B hygiene). Returns "tpu" on
     the TPU backend, "interpret" under the CPU test override, else
     None."""
     import os
 
     if os.environ.get("MMTPU_ENC_ATTN_PROJ_INTERPRET") == "1":
         return "interpret"
-    if os.environ.get("MMTPU_ENC_ATTN_PROJ") == "1" and _on_tpu_backend():
+    if os.environ.get("MMTPU_ENC_ATTN_PROJ", "1") != "0" and _on_tpu_backend():
         return "tpu"
     return None
 
