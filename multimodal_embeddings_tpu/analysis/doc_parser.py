@@ -221,14 +221,9 @@ class DocumentParser:
         ids = np.concatenate([prefix, pads, suffix])[:max_len]
         return ids[None].astype(np.int32)
 
-    def parse(
-        self, image_path: str, max_new_tokens: int = 256
-    ) -> Tuple[str, int, int]:
-        """Returns (html, input_height, input_width) like the notebook's
-        ``inference``."""
-        from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
-
-        image = Image.open(image_path).convert("RGB")
+    def _input_size(self, image: Image.Image) -> Tuple[int, int]:
+        """Model-input (width, height) for a page: its own smart-resized
+        merged-patch grid under dynamic resolution, else the fixed square."""
         unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
         if self.dynamic_resolution:
             # Qwen2.5-VL native resolution: the page keeps its aspect
@@ -248,9 +243,10 @@ class DocumentParser:
                 self.model.config.vision.patch_size,
                 self.model.config.vision.merge_size,
             )
-        model_img = image.resize((input_w, input_h), Image.BILINEAR)
-        arr = np.asarray(model_img, np.float32)[None] / 255.0
+        return input_w, input_h
 
+    def _prompt_ids(self, input_w: int, input_h: int, max_new_tokens: int) -> np.ndarray:
+        unit = self.model.config.vision.patch_size * self.model.config.vision.merge_size
         n_tokens = (input_h // unit) * (input_w // unit)
         # leave generation headroom inside the static KV cache
         prompt_budget = self.model.config.text.max_len - max_new_tokens
@@ -259,7 +255,69 @@ class DocumentParser:
                 f"max_new_tokens={max_new_tokens} leaves no prompt room within "
                 f"max_len={self.model.config.text.max_len}"
             )
-        ids = self.build_prompt_ids(n_tokens, prompt_budget)
+        return self.build_prompt_ids(n_tokens, prompt_budget)
+
+    def parse_batch(
+        self, image_paths: List[str], max_new_tokens: int = 256
+    ) -> List[Tuple[str, int, int]]:
+        """Batched page parsing: pages whose model-input grids match run as
+        ONE stacked prefill+decode program (results in input order,
+        identical tokens to per-page ``parse`` — the whole generate path is
+        batch-row-independent).
+
+        Why this exists: single-page greedy decode is WEIGHT-STREAMING
+        bound — 9.0 ms/token at 3B bf16 ≈ the 6GB tree's HBM read per step,
+        prompt-length-insensitive (BENCH_PARSE.json) — so a batch of B
+        pages amortizes the same weight stream over B tokens/step. The
+        reference notebook parses strictly one page per ``generate`` call
+        (``QWEN2_5_document_parsing.ipynb`` cell ``d43bacc8``); this is the
+        TPU-native throughput shape for bulk page parsing. Fixed-resolution
+        mode puts every page in one bucket; dynamic resolution buckets by
+        smart-resize grid."""
+        if self.pp_stages:
+            # the PP ring's microbatching is its own schedule; keep per-page
+            return [self.parse(p, max_new_tokens) for p in image_paths]
+        from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
+
+        buckets: dict = {}
+        for i, path in enumerate(image_paths):
+            image = Image.open(path).convert("RGB")
+            size = self._input_size(image)
+            buckets.setdefault(size, []).append((i, image))
+        results: List[Optional[Tuple[str, int, int]]] = [None] * len(image_paths)
+        for (input_w, input_h), items in buckets.items():
+            ids1 = self._prompt_ids(input_w, input_h, max_new_tokens)
+            arr = np.stack(
+                [
+                    np.asarray(
+                        img.resize((input_w, input_h), Image.BILINEAR),
+                        np.float32,
+                    )
+                    / 255.0
+                    for _, img in items
+                ]
+            )
+            ids = np.tile(ids1, (len(items), 1))
+            out_tokens = greedy_generate(
+                self.model, self.variables, ids, arr,
+                max_new_tokens=max_new_tokens,
+            )
+            for row, (i, _) in zip(out_tokens, items):
+                results[i] = (self.decode_tokens(row), input_h, input_w)
+        return results  # type: ignore[return-value]
+
+    def parse(
+        self, image_path: str, max_new_tokens: int = 256
+    ) -> Tuple[str, int, int]:
+        """Returns (html, input_height, input_width) like the notebook's
+        ``inference``."""
+        from multimodal_embeddings_tpu.models.qwen_vl import greedy_generate
+
+        image = Image.open(image_path).convert("RGB")
+        input_w, input_h = self._input_size(image)
+        model_img = image.resize((input_w, input_h), Image.BILINEAR)
+        arr = np.asarray(model_img, np.float32)[None] / 255.0
+        ids = self._prompt_ids(input_w, input_h, max_new_tokens)
         if self.pp_stages:
             from multimodal_embeddings_tpu.models.qwen_pp import (
                 pp_greedy_generate,

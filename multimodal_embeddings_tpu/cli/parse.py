@@ -27,7 +27,10 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 
 logger = get_logger("cli.parse")
 
-SIZES = ("tiny", "tiny-int8", "3b", "7b", "7b-int8", "32b", "32b-int8", "32b-int4")
+SIZES = (
+    "tiny", "tiny-int8", "3b", "3b-int8", "7b", "7b-int8",
+    "32b", "32b-int8", "32b-int4",
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
         "models/qwen_pp.py) — the 32B notebook flagship serves at int8 + 4 "
         "stages ~ 10GB/chip, or int4 (the notebook's literal 4-bit storage "
         "class) + 2 stages ~ 11GB/chip; layer count must divide evenly",
+    )
+    parser.add_argument(
+        "--batch_size",
+        type=int,
+        default=1,
+        help="pages per generate program (DocumentParser.parse_batch): "
+        "greedy decode is weight-streaming bound at batch 1 (9.0 ms/token "
+        "= the 3B tree's HBM read, BENCH_PARSE.json), so B pages in one "
+        "scan amortize the weight stream ~B×; artifacts are identical to "
+        "batch 1 (row-independent generate, test-locked)",
     )
     parser.add_argument("--draw_bbox", action="store_true")
     parser.add_argument(
@@ -86,6 +99,7 @@ def make_document_parser(
         "tiny": QwenVLConfig.tiny,
         "tiny-int8": lambda: _dc.replace(QwenVLConfig.tiny(), quantize=True),
         "3b": QwenVLConfig.qwen25_vl_3b,
+        "3b-int8": QwenVLConfig.qwen25_vl_3b_int8,
         "7b": QwenVLConfig.qwen25_vl_7b,
         "7b-int8": QwenVLConfig.qwen25_vl_7b_int8,
         "32b": QwenVLConfig.qwen25_vl_32b,
@@ -185,12 +199,48 @@ def main(argv=None) -> int:
 
     n_done = 0
     index = []
-    for path in paths:
-        stem = os.path.splitext(os.path.basename(path))[0]
+    batch = max(1, args.batch_size)
+    for start in range(0, len(paths), batch):
+        chunk = paths[start : start + batch]
         try:
-            html, in_h, in_w = parser_obj.parse(
-                path, max_new_tokens=args.max_new_tokens
-            )
+            if batch > 1:
+                parsed = parser_obj.parse_batch(
+                    chunk, max_new_tokens=args.max_new_tokens
+                )
+            else:
+                parsed = [
+                    parser_obj.parse(chunk[0], max_new_tokens=args.max_new_tokens)
+                ]
+        except Exception as exc:  # noqa: BLE001 — batch-level fallback
+            if batch > 1 and args.skip_errors:
+                # one bad page (decode error, truncated file) fails the
+                # whole stacked program — retry its pages individually so
+                # the per-page skip contract still holds
+                logger.error(
+                    "batch parse failed (%s); retrying pages individually",
+                    exc,
+                )
+                parsed = []
+                for path in chunk:
+                    try:
+                        parsed.append(
+                            parser_obj.parse(
+                                path, max_new_tokens=args.max_new_tokens
+                            )
+                        )
+                    except Exception as page_exc:  # noqa: BLE001
+                        logger.error("parse failed on %s: %s", path, page_exc)
+                        parsed.append(None)
+            elif args.skip_errors:
+                logger.error("parse failed on %s: %s", chunk[0], exc)
+                parsed = [None]
+            else:
+                raise
+        for path, result in zip(chunk, parsed):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            if result is None:
+                continue
+            html, in_h, in_w = result
             raw_path = os.path.join(args.output_folder, f"{stem}.qwen.html")
             with open(raw_path, "w") as f:
                 f.write(html)
@@ -215,10 +265,6 @@ def main(argv=None) -> int:
             )
             n_done += 1
             logger.info("parsed %s: %d bbox elements", stem, n_boxes)
-        except Exception as exc:  # noqa: BLE001 — continue-on-error contract
-            logger.error("parse failed on %s: %s", stem, exc)
-            if not args.skip_errors:
-                raise
     with open(os.path.join(args.output_folder, "parse_index.json"), "w") as f:
         json.dump(index, f, indent=2)
     logger.info("parsed %d/%d pages", n_done, len(paths))

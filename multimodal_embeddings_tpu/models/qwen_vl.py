@@ -141,6 +141,14 @@ class QwenVLConfig:
         return dataclasses.replace(cls.qwen25_vl_7b(), quantize=True)
 
     @classmethod
+    def qwen25_vl_3b_int8(cls) -> "QwenVLConfig":
+        """3B with int8 decoder storage. Not a notebook config (the
+        notebook runs 3B bf16) but the natural TPU serving point for
+        batch-1 decode, which is WEIGHT-STREAMING bound at 9.0 ms/token
+        bf16 (BENCH_PARSE.json): halving decoder bytes halves the floor."""
+        return dataclasses.replace(cls.qwen25_vl_3b(), quantize=True)
+
+    @classmethod
     def qwen25_vl_32b_int8(cls) -> "QwenVLConfig":
         return dataclasses.replace(cls.qwen25_vl_32b(), quantize=True)
 

@@ -180,6 +180,43 @@ class TestEndToEndParse:
         # (fixed square resize), so the returned dims reflect image_size
         assert (in_w, in_h) == (56, 56)
 
+    def test_parse_batch_matches_single(self, tiny_qwen, tmp_path):
+        """Batched parsing (the TPU throughput shape: decode is
+        weight-streaming bound, so B pages share one weight read per step)
+        must return exactly the per-page results in input order — every
+        generate op is batch-row-independent."""
+        model, variables = tiny_qwen
+        rng = np.random.default_rng(7)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"page{i}.png")
+            arr = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(p)
+            paths.append(p)
+        parser = DocumentParser(model, variables, ByteTokenizer(), image_size=56)
+        singles = [parser.parse(p, max_new_tokens=8) for p in paths]
+        batched = parser.parse_batch(paths, max_new_tokens=8)
+        assert batched == singles
+
+    def test_parse_batch_dynamic_resolution_buckets(self, tiny_qwen, tmp_path):
+        """Under dynamic resolution, pages bucket by their smart-resize
+        grid; results still come back in input order with per-page dims."""
+        model, variables = tiny_qwen
+        sizes = [(300, 200), (100, 260), (300, 200)]  # two grid buckets
+        paths = []
+        for i, (w, h) in enumerate(sizes):
+            p = str(tmp_path / f"dyn{i}.png")
+            Image.new("RGB", (w, h), ("white", "gray", "black")[i]).save(p)
+            paths.append(p)
+        parser = DocumentParser(
+            model, variables, ByteTokenizer(), image_size=56,
+            dynamic_resolution=True, max_pixels=4 * 28 * 28,
+        )
+        singles = [parser.parse(p, max_new_tokens=6) for p in paths]
+        batched = parser.parse_batch(paths, max_new_tokens=6)
+        assert batched == singles
+        assert (batched[0][1], batched[0][2]) != (batched[1][1], batched[1][2])
+
 
 class TestQwen25Fidelity:
     """Qwen2.5-VL specifics: window attention, vision 2D RoPE, text M-RoPE
@@ -501,6 +538,34 @@ class TestParseCLI:
         )
         assert rc == 0
         assert os.path.exists("out/doc.qwen.html")
+
+    def test_parse_cli_batch_matches(self, tmp_path, monkeypatch):
+        """--batch_size 2 (pages stacked into one generate program) must
+        emit byte-identical artifacts to the sequential parse, including
+        the odd final chunk."""
+        import json
+
+        from multimodal_embeddings_tpu.cli.parse import main
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        rng = np.random.default_rng(3)
+        for i in range(3):
+            arr = rng.integers(0, 256, size=(90, 120, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(f"pages/doc{i}.png")
+        base = ["--input_folder", "pages", "--size", "tiny",
+                "--max_new_tokens", "6"]
+        assert main([*base, "--output_folder", "out_1"]) == 0
+        assert main([*base, "--output_folder", "out_b",
+                     "--batch_size", "2"]) == 0
+        for i in range(3):
+            for suffix in ("qwen.html", "clean.html"):
+                a = open(f"out_1/doc{i}.{suffix}").read()
+                b = open(f"out_b/doc{i}.{suffix}").read()
+                assert a == b, (i, suffix)
+        idx_1 = json.load(open("out_1/parse_index.json"))
+        idx_b = json.load(open("out_b/parse_index.json"))
+        assert idx_1 == idx_b
 
     def test_parse_cli_pipeline_parallel_matches(self, tmp_path, monkeypatch):
         """--pipeline_parallel 2 (the 32B serving shape: decoder stack
