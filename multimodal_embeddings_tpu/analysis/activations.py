@@ -38,8 +38,10 @@ __all__ = [
     "trace_flax_module",
     "detector_probe",
     "mme5_probe",
+    "qwen_probe",
     "detector_trace",
     "mme5_trace",
+    "qwen_trace",
     "compare_traces",
 ]
 
@@ -108,6 +110,8 @@ def trace_flax_module(
     pattern = re.compile(taps) if taps else None
     layers: Dict[str, Any] = {}
     for path, values in sorted(flat.items()):
+        if not path:
+            continue  # the root module's own output duplicates "output"
         if pattern and not pattern.search(path):
             continue
         for idx, value in enumerate(values):
@@ -160,6 +164,42 @@ def mme5_probe(
     return tokens, mask, images, aspect, tile_mask
 
 
+def qwen_probe(
+    image_size: int,
+    text_len: int,
+    vocab: int,
+    image_pad_id: int,
+    merged_unit: int = 28,
+    seed: int = 0,
+):
+    """(token_ids, images) for a QwenVL prefill forward.
+
+    Token ids are drawn below ``min(vocab, 32000)`` (excluding the pad id)
+    with one contiguous image-pad span spliced at position 4 — the shape
+    ``embed_multimodal`` + ``get_rope_index`` handle (qwen_vl.py). Images
+    are CLIP-normalized from a [0,1) draw, matching the parse path
+    (``doc_parser.preprocess_page``) and the torch-side dump
+    (``scripts/hf_activation_dump.py --loader qwen``)."""
+    rng = np.random.default_rng(seed)
+    n_img = (image_size // merged_unit) ** 2
+    assert text_len >= n_img + 8, (text_len, n_img)
+    tokens = rng.integers(
+        1, min(vocab, 32000), size=(1, text_len), dtype=np.int32
+    )
+    tokens[tokens == image_pad_id] += 1
+    tokens[0, 4 : 4 + n_img] = image_pad_id
+    raw = rng.random((1, image_size, image_size, 3), dtype=np.float32)
+    from multimodal_embeddings_tpu.analysis.doc_parser import (
+        IMAGE_MEAN,
+        IMAGE_STD,
+    )
+
+    images = (raw - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32
+    )
+    return tokens, images
+
+
 def detector_trace(detector, seed: int = 0, taps: Optional[str] = None):
     """Golden-activation dump for a ``LayoutDetector``."""
     probe = detector_probe(detector.config.image_size, seed=seed)
@@ -194,6 +234,41 @@ def mme5_trace(embedder, seed: int = 0, taps: Optional[str] = None):
         f"(1,{embedder.text_len})) tokens; random((1,1,"
         f"{cfg.vision.image_size},{cfg.vision.image_size},3)) tiles",
         "family": "mme5",
+    }
+    return trace
+
+
+def qwen_trace(
+    model,
+    variables,
+    image_size: int = 56,
+    text_len: Optional[int] = None,
+    seed: int = 0,
+    taps: Optional[str] = None,
+):
+    """Golden-activation dump for a ``QwenVLModel`` prefill forward (the
+    parse surface — first-contact validation of the qwen25_vl port map,
+    ``models/hf_port.py::qwen25_vl_key_map``)."""
+    cfg = model.config
+    unit = cfg.vision.patch_size * cfg.vision.merge_size
+    image_size = max(unit, (image_size // unit) * unit)
+    n_img = (image_size // unit) ** 2
+    if text_len is None:
+        text_len = min(cfg.text.max_len, n_img + 16)
+    tokens, images = qwen_probe(
+        image_size,
+        text_len,
+        cfg.text.vocab_size,
+        cfg.image_pad_id,
+        merged_unit=unit,
+        seed=seed,
+    )
+    trace = trace_flax_module(model, variables, (tokens, images), taps=taps)
+    trace["probe"] = {
+        "recipe": f"default_rng({seed}): integers(1, min(vocab,32000), "
+        f"(1,{text_len})) tokens with {n_img} image pads at 4; "
+        f"random((1,{image_size},{image_size},3)) CLIP-normalized",
+        "family": "qwen",
     }
     return trace
 

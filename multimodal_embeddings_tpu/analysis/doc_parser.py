@@ -22,6 +22,30 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 
 logger = get_logger("doc_parser")
 
+# CLIP normalization constants — the HF Qwen2VLImageProcessor defaults the
+# reference notebook's AutoProcessor applies (OPENAI_CLIP_MEAN/STD; cell
+# ``39512aca`` builds the processor, ``d43bacc8`` feeds it pages). The same
+# constants the Mllama tile processor uses (models/mllama_processor.py:38).
+# Feeding raw [0,1] pixels to a real checkpoint would silently skew every
+# vision activation; synthetic-weight behavior is unaffected either way.
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_page(image: Image.Image, input_w: int, input_h: int) -> np.ndarray:
+    """Page → (1, H, W, 3) float32 model input: bilinear resize, 1/255
+    rescale, CLIP mean/std normalization (the notebook processor's
+    pipeline; smart_resize/fixed-grid sizing happens in the caller)."""
+    arr = (
+        np.asarray(image.resize((input_w, input_h), Image.BILINEAR), np.float32)
+        / 255.0
+    )
+    arr = (arr - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32
+    )
+    return arr[None]
+
+
 SYSTEM_PROMPT = (
     "You are an AI specialized in recognizing and extracting text from "
     "images. Your mission is to analyze the image document and generate the "
@@ -185,6 +209,7 @@ class DocumentParser:
         max_pixels: Optional[int] = None,
         pp_mesh=None,
         pp_stages: Optional[int] = None,
+        dp_mesh=None,
     ):
         """``dynamic_resolution=True`` runs the Qwen2.5-VL native-aspect
         path: the page is smart-resized onto its own merged-patch grid
@@ -196,7 +221,15 @@ class DocumentParser:
         ``stage`` mesh axis (``models/qwen_pp.py``) — the serving shape
         for the notebook's 32B flagship, whose decoder does not fit one
         chip (fit math: ``models/qwen_vl.py::qwen25_vl_32b``). Token
-        output equals the single-device decode (test-locked)."""
+        output equals the single-device decode (test-locked).
+
+        ``dp_mesh`` data-parallels ``parse_batch`` over the mesh's
+        ``data`` axis: pages shard on the batch dim, weights replicate,
+        and the SAME jitted generate program runs SPMD — the multi-chip
+        throughput shape for bulk parsing (batched decode amortizes the
+        weight stream per chip; dp multiplies chips). Artifacts equal the
+        single-device parse (test-locked). Mutually exclusive with the
+        PP ring."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -205,8 +238,12 @@ class DocumentParser:
         self.max_pixels = max_pixels or image_size * image_size
         if (pp_mesh is None) != (pp_stages is None):
             raise ValueError("pp_mesh and pp_stages must be set together")
+        if dp_mesh is not None and pp_mesh is not None:
+            raise ValueError("dp_mesh and pp_mesh are mutually exclusive")
         self.pp_mesh = pp_mesh
         self.pp_stages = pp_stages
+        self.dp_mesh = dp_mesh
+        self._dp_variables = None
 
     def build_prompt_ids(self, n_image_tokens: int, max_len: int) -> np.ndarray:
         """Chat-template prompt with image-pad placeholders spliced in."""
@@ -287,19 +324,39 @@ class DocumentParser:
         results: List[Optional[Tuple[str, int, int]]] = [None] * len(image_paths)
         for (input_w, input_h), items in buckets.items():
             ids1 = self._prompt_ids(input_w, input_h, max_new_tokens)
-            arr = np.stack(
-                [
-                    np.asarray(
-                        img.resize((input_w, input_h), Image.BILINEAR),
-                        np.float32,
-                    )
-                    / 255.0
-                    for _, img in items
-                ]
+            arr = np.concatenate(
+                [preprocess_page(img, input_w, input_h) for _, img in items]
             )
             ids = np.tile(ids1, (len(items), 1))
+            variables = self.variables
+            if self.dp_mesh is not None:
+                from multimodal_embeddings_tpu.core.mesh import (
+                    pad_to_multiple,
+                    replicated,
+                    shard_batch,
+                )
+
+                dp = self.dp_mesh.shape["data"]
+                padded = pad_to_multiple(len(items), dp)
+                if padded != len(items):
+                    # repeat the last page so the batch divides the data
+                    # axis; surplus rows are dropped below
+                    reps = padded - len(items)
+                    ids = np.concatenate([ids, np.tile(ids[-1:], (reps, 1))])
+                    arr = np.concatenate(
+                        [arr, np.tile(arr[-1:], (reps, 1, 1, 1))]
+                    )
+                ids = shard_batch(self.dp_mesh, ids)
+                arr = shard_batch(self.dp_mesh, arr)
+                if self._dp_variables is None:
+                    import jax
+
+                    self._dp_variables = jax.device_put(
+                        self.variables, replicated(self.dp_mesh)
+                    )
+                variables = self._dp_variables
             out_tokens = greedy_generate(
-                self.model, self.variables, ids, arr,
+                self.model, variables, ids, arr,
                 max_new_tokens=max_new_tokens,
             )
             for row, (i, _) in zip(out_tokens, items):
@@ -315,8 +372,7 @@ class DocumentParser:
 
         image = Image.open(image_path).convert("RGB")
         input_w, input_h = self._input_size(image)
-        model_img = image.resize((input_w, input_h), Image.BILINEAR)
-        arr = np.asarray(model_img, np.float32)[None] / 255.0
+        arr = preprocess_page(image, input_w, input_h)
         ids = self._prompt_ids(input_w, input_h, max_new_tokens)
         if self.pp_stages:
             from multimodal_embeddings_tpu.models.qwen_pp import (

@@ -42,15 +42,18 @@ def build_parser() -> argparse.ArgumentParser:
         "statistics JSON (first-contact checkpoint validation; the torch "
         "side of the comparison is scripts/hf_activation_dump.py)",
     )
-    dump.add_argument("--family", choices=("detector", "mme5"), required=True)
+    dump.add_argument(
+        "--family", choices=("detector", "mme5", "qwen"), required=True
+    )
     dump.add_argument("--out", required=True)
     dump.add_argument("--checkpoint", default=None, help="ported weights (npz/safetensors)")
     dump.add_argument("--seed", type=int, default=0)
     dump.add_argument(
         "--size",
-        choices=("tiny", "2b", "11b"),
+        choices=("tiny", "2b", "11b", "3b", "7b", "32b"),
         default="tiny",
-        help="mme5 architecture size (checkpoint runs want 11b; the tiny "
+        help="architecture size: mme5 takes tiny/2b/11b, qwen takes "
+        "tiny/3b/7b/32b (checkpoint runs want the real size; the tiny "
         "default keeps checkpoint-less self-tests cheap)",
     )
     dump.add_argument("--variant", default="m", help="detector YOLO variant")
@@ -92,6 +95,43 @@ def _acts_dump(args) -> dict:
             )
         )
         trace = acts.detector_trace(detector, seed=args.seed, taps=args.taps)
+    elif args.family == "qwen":
+        import flax.linen as fnn
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            QwenVLConfig,
+            QwenVLModel,
+        )
+
+        config = {
+            "tiny": QwenVLConfig.tiny,
+            "3b": QwenVLConfig.qwen25_vl_3b,
+            "7b": QwenVLConfig.qwen25_vl_7b,
+            "32b": QwenVLConfig.qwen25_vl_32b,
+        }[args.size]()
+        model = QwenVLModel(config)
+        unit = config.vision.patch_size * config.vision.merge_size
+        ids = jnp.ones((1, 8), jnp.int32)
+        imgs = jnp.zeros((1, unit * 2, unit * 2, 3), jnp.float32)
+        if args.checkpoint:
+            from multimodal_embeddings_tpu.models.weights import (
+                load_checkpoint,
+            )
+
+            target = fnn.unbox(
+                jax.eval_shape(
+                    lambda: model.init(jax.random.PRNGKey(0), ids, imgs)
+                )
+            )
+            variables = load_checkpoint(args.checkpoint, target)
+        else:
+            variables = fnn.unbox(model.init(jax.random.PRNGKey(0), ids, imgs))
+        trace = acts.qwen_trace(
+            model, variables, image_size=unit * 2, seed=args.seed,
+            taps=args.taps,
+        )
     else:
         from multimodal_embeddings_tpu.config import EmbedderConfig
         from multimodal_embeddings_tpu.models.embedder import MultimodalEmbedder

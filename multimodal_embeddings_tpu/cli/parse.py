@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
         "class) + 2 stages ~ 11GB/chip; layer count must divide evenly",
     )
     parser.add_argument(
+        "--data_parallel",
+        type=int,
+        default=1,
+        help="shard batched parsing over this many chips (mesh data axis: "
+        "pages shard on the batch dim, weights replicate, one SPMD "
+        "generate program) — compose with --batch_size >= N for per-chip "
+        "batching; mutually exclusive with --pipeline_parallel",
+    )
+    parser.add_argument(
         "--batch_size",
         type=int,
         default=1,
@@ -86,6 +95,7 @@ def make_document_parser(
     dynamic_resolution: bool,
     max_pixels: int | None,
     pipeline_parallel: int = 1,
+    data_parallel: int = 1,
 ):
     import jax
 
@@ -147,6 +157,27 @@ def make_document_parser(
         )
         variables = fnn.unbox(model.init(jax.random.PRNGKey(0), ids, imgs))
 
+    dp_mesh = None
+    if data_parallel > 1:
+        from multimodal_embeddings_tpu.config import MeshConfig
+        from multimodal_embeddings_tpu.core.mesh import make_mesh
+
+        if pipeline_parallel > 1:
+            raise SystemExit(
+                "--data_parallel and --pipeline_parallel are mutually "
+                "exclusive (dp replicates the weight tree; pp exists "
+                "because it does not fit)"
+            )
+        if len(jax.devices()) < data_parallel:
+            raise SystemExit(
+                f"--data_parallel {data_parallel}: only "
+                f"{len(jax.devices())} devices visible"
+            )
+        dp_mesh = make_mesh(
+            MeshConfig(shape=(data_parallel, 1)),
+            devices=jax.devices()[:data_parallel],
+        )
+
     pp_mesh = None
     if pipeline_parallel > 1:
         from multimodal_embeddings_tpu.parallel.pipeline import make_pp_mesh
@@ -172,6 +203,7 @@ def make_document_parser(
         max_pixels=max_pixels,
         pp_mesh=pp_mesh,
         pp_stages=pipeline_parallel if pipeline_parallel > 1 else None,
+        dp_mesh=dp_mesh,
     )
 
 
@@ -195,7 +227,10 @@ def main(argv=None) -> int:
         args.size, args.weights, args.image_size,
         args.dynamic_resolution, args.max_pixels,
         pipeline_parallel=args.pipeline_parallel,
+        data_parallel=args.data_parallel,
     )
+    if args.data_parallel > 1 and args.batch_size < args.data_parallel:
+        args.batch_size = args.data_parallel  # one page per chip minimum
 
     n_done = 0
     index = []

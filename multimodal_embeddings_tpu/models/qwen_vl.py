@@ -344,7 +344,8 @@ class QwenVisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images (B, S, S, 3) in [0,1] → (B, (S/p/m)^2, out_dim)."""
+        """images (B, S, S, 3), CLIP-normalized (doc_parser.preprocess_page)
+        → (B, (S/p/m)^2, out_dim)."""
         cfg = self.config
         p = cfg.patch_size
         x = nn.Conv(
@@ -560,9 +561,19 @@ class QwenVLModel(nn.Module):
         token_ids: jnp.ndarray,
         images: Optional[jnp.ndarray] = None,
         attention_mask: Optional[jnp.ndarray] = None,
+        cache_len: Optional[int] = None,
     ):
-        """Prefill forward: returns (logits, kv_caches padded to max_len,
-        mrope_delta (B,) — the position offset decode steps must add)."""
+        """Prefill forward: returns (logits, kv_caches padded to
+        ``cache_len`` — default ``max_len`` — and mrope_delta (B,), the
+        position offset decode steps must add).
+
+        ``cache_len`` tightens the static KV allocation to what the
+        caller will actually decode (prompt + max_new): every decode step
+        reads the WHOLE padded cache under the position mask, so a
+        4096-slot cache behind a 1600-token parse streams 2.5× the KV
+        bytes for nothing — material once batched decode amortizes the
+        weight stream (B × layers × 2 × kv_heads × head_dim × cache_len
+        per step)."""
         cfg = self.config.text
         x = self.embed_multimodal(token_ids, images)
         position_ids, delta = qwen_mrope_position_ids(
@@ -576,7 +587,7 @@ class QwenVLModel(nn.Module):
         for block in self.blocks:
             x, (k, v) = block(x, cos, sin, mask=mask)
             b, l, kvh, d = k.shape
-            pad = cfg.max_len - l
+            pad = (cache_len or cfg.max_len) - l
             caches.append(
                 (
                     jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))),
@@ -630,10 +641,19 @@ def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int)
     tunnel a per-token loop would pay the ~4ms dispatch floor 1024×).
     """
     eos = model.config.eos_id
+    # tight static cache: prompt + generation, rounded to the lane width —
+    # NOT max_len (every decode step reads the whole padded cache; at
+    # max_len=4096 behind a 1600-token parse that is 2.5× dead KV traffic)
+    cache_len = min(
+        model.config.text.max_len,
+        -(-(prompt_len + max_new_tokens) // 128) * 128,
+    )
 
     @jax.jit
     def prefill(variables, tokens, imgs):
-        logits, caches, delta = model.apply(variables, tokens, imgs)
+        logits, caches, delta = model.apply(
+            variables, tokens, imgs, cache_len=cache_len
+        )
         return logits[:, -1], caches, delta
 
     @jax.jit

@@ -362,6 +362,22 @@ def sdpa(
 
     b, lq, h, d = q.shape
     kvh = k.shape[2]
+    if kvh != h and lq == 1 and not causal and (
+        mask is None or mask.shape[2] == 1
+    ):
+        # GQA DECODE fold: the repeat path below materializes the repeated
+        # K/V — rep × the ENTIRE cache per layer per step (3B decode:
+        # 16q/2kv ⇒ 8 × 36 layers × (B, L, 2, 128) ≈ 9.7GB/step at
+        # batch 8, the r4-08 batched-parse sublinearity). Fold the query
+        # heads into the query-length axis per kv group instead — same
+        # per-head dot products, K/V stream ONCE. Requires the mask to be
+        # query-position-independent (decode's valid-prefix mask is).
+        rep = h // kvh
+        qf = q.reshape(b, lq, kvh, rep, d).transpose(0, 1, 3, 2, 4)
+        qf = qf.reshape(b, lq * rep, kvh, d)
+        out = sdpa(qf, k, v, mask=mask)
+        out = out.reshape(b, lq, rep, kvh, d).transpose(0, 1, 3, 2, 4)
+        return out.reshape(b, lq, h, d)
     if kvh != h:
         rep = h // kvh
         k = jnp.repeat(k, rep, axis=2)

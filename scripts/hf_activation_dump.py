@@ -141,16 +141,90 @@ def dump_doclayout(args) -> dict:
     }
 
 
+def dump_qwen(args) -> dict:
+    """Qwen2.5-VL prefill dump — companion to ``parity acts-dump --family
+    qwen`` (probe recipe in ``analysis/activations.py::qwen_probe``).
+
+    HF feeds the vision tower FLATTENED patches (Qwen2VLImageProcessor:
+    resize→rescale→normalize→duplicate the frame to temporal_patch_size→
+    merge-aware patch flatten) plus ``image_grid_thw``; this rebuilds that
+    layout from the same CLIP-normalized probe pixels our side feeds as a
+    plain (1, S, S, 3) image, so the first diverging layer isolates a port
+    error rather than a preprocessing difference."""
+    import torch
+    from transformers import Qwen2_5_VLForConditionalGeneration
+
+    model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+        args.model, torch_dtype=torch.bfloat16, device_map="cpu"
+    )
+    model.eval()
+    cfg = model.config
+    vocab = cfg.vocab_size
+    pad_id = cfg.image_token_id
+    vis = cfg.vision_config
+    ps = vis.patch_size
+    merge = vis.spatial_merge_size
+    tps = getattr(vis, "temporal_patch_size", 2)
+    unit = ps * merge
+    # probe dims — run with --imgsz 56 to match the jax side's default
+    # (qwen_trace: image_size=unit*2, text_len=n_img+16)
+    size = max(unit, (args.imgsz // unit) * unit)
+    n_img = (size // unit) ** 2
+    text_len = n_img + 16
+    # probe recipe — MUST match analysis/activations.py::qwen_probe
+    rng = np.random.default_rng(args.seed)
+    tokens = rng.integers(1, min(vocab, 32000), size=(1, text_len))
+    tokens[tokens == pad_id] += 1
+    tokens[0, 4 : 4 + n_img] = pad_id
+    raw = rng.random((1, size, size, 3), dtype=np.float32)
+    mean = np.asarray((0.48145466, 0.4578275, 0.40821073), np.float32)
+    std = np.asarray((0.26862954, 0.26130258, 0.27577711), np.float32)
+    norm = (raw - mean) / std  # (1, S, S, 3)
+
+    # Qwen2VLImageProcessor patch flatten (merge-aware row order)
+    img = norm[0].transpose(2, 0, 1)  # (C, H, W)
+    img = np.broadcast_to(img[None], (tps, *img.shape))  # duplicated frame
+    gh, gw = size // ps, size // ps
+    patches = img.reshape(
+        1, tps, 3, gh // merge, merge, ps, gw // merge, merge, ps
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = np.ascontiguousarray(patches).reshape(gh * gw, 3 * tps * ps * ps)
+
+    layers: dict = {}
+    handles = hook_all_modules(model, layers)
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.from_numpy(tokens),
+            attention_mask=torch.ones((1, text_len), dtype=torch.long),
+            pixel_values=torch.from_numpy(flat).to(torch.bfloat16),
+            image_grid_thw=torch.tensor([[1, gh, gw]], dtype=torch.long),
+        )
+    for h in handles:
+        h.remove()
+    return {
+        "layers": layers,
+        "output": tensor_stats(out.logits),
+        "probe": {"family": "qwen", "recipe": f"default_rng({args.seed})"},
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("--loader", choices=("mllama", "doclayout"), required=True)
+    parser.add_argument(
+        "--loader", choices=("mllama", "doclayout", "qwen"), required=True
+    )
     parser.add_argument("--model", required=True, help="HF id or local path")
     parser.add_argument("--out", required=True)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--text-len", type=int, default=512)
     parser.add_argument("--imgsz", type=int, default=1024)
     args = parser.parse_args()
-    trace = dump_mllama(args) if args.loader == "mllama" else dump_doclayout(args)
+    trace = {
+        "mllama": dump_mllama,
+        "doclayout": dump_doclayout,
+        "qwen": dump_qwen,
+    }[args.loader](args)
     with open(args.out, "w") as f:
         json.dump(trace, f, indent=2)
         f.write("\n")

@@ -151,6 +151,11 @@ def main() -> int:
         help="merge this result into BENCH_PARSE.json keyed by config",
     )
     parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of one timed prefill+decode "
+        "iteration into DIR (feed to utils/trace_analysis.py)",
+    )
+    parser.add_argument(
         "--cpu", action="store_true",
         help="force the host CPU backend (smoke runs must not hold the "
         "TPU tunnel lock)",
@@ -163,6 +168,7 @@ def main() -> int:
 
     from multimodal_embeddings_tpu.analysis.doc_parser import (
         DocumentParser,
+        preprocess_page,
         smart_resize,
         round_to_patch_grid,
     )
@@ -216,10 +222,7 @@ def main() -> int:
             args.image_size, args.image_size,
             cfg.vision.patch_size, cfg.vision.merge_size,
         )
-    arr = (
-        np.asarray(image.resize((input_w, input_h), Image.BILINEAR), np.float32)[None]
-        / 255.0
-    )
+    arr = preprocess_page(image, input_w, input_h)
     batch = max(1, args.batch)
     if batch > 1:
         # same page replicated: timing is content-independent (the scan
@@ -246,16 +249,24 @@ def main() -> int:
     decode_compile_s = time.perf_counter() - t0
 
     # --- timed ---
+    import contextlib
+
+    ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
     pre_ts, dec_ts = [], []
-    for _ in range(max(1, args.iters)):
-        t0 = time.perf_counter()
-        last_logits, caches, delta = prefill(variables, ids, arr)
-        np.asarray(last_logits[0, :2])
-        pre_ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        tokens = decode(variables, last_logits, caches, delta)
-        np.asarray(tokens[0, :2])
-        dec_ts.append(time.perf_counter() - t0)
+    with ctx:
+        for _ in range(max(1, args.iters)):
+            t0 = time.perf_counter()
+            last_logits, caches, delta = prefill(variables, ids, arr)
+            np.asarray(last_logits[0, :2])
+            pre_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            tokens = decode(variables, last_logits, caches, delta)
+            np.asarray(tokens[0, :2])
+            dec_ts.append(time.perf_counter() - t0)
 
     prefill_s = min(pre_ts)
     decode_s = min(dec_ts)

@@ -93,6 +93,57 @@ def test_mme5_trace_self_compare(tiny_mme5):
     assert report["ok"]
 
 
+def test_qwen_trace_self_compare_and_perturbation():
+    """The parse-surface family: a tiny QwenVL prefill trace is
+    self-consistent, and a corrupted vision kernel is pinpointed."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from multimodal_embeddings_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLModel,
+    )
+
+    model = QwenVLModel(QwenVLConfig.tiny())
+    ids = jnp.ones((1, 8), jnp.int32)
+    imgs = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    variables = fnn.unbox(model.init(jax.random.PRNGKey(0), ids, imgs))
+    trace = acts.qwen_trace(model, variables, image_size=56, seed=0)
+    assert len(trace["layers"]) > 10
+    names = " ".join(trace["layers"])
+    assert "vision" in names and "layer0" in names
+    report = acts.compare_traces(trace, trace)
+    assert report["ok"] and report.get("output_ok") is True
+
+    def bump(path, leaf):
+        key = jax.tree_util.keystr(path)
+        return leaf + 0.5 if "vision" in key and "qkv_0" in key else leaf
+
+    perturbed = jax.tree_util.tree_map_with_path(bump, variables)
+    candidate = acts.qwen_trace(model, perturbed, image_size=56, seed=0)
+    report = acts.compare_traces(trace, candidate)
+    assert not report["ok"]
+    assert report["first_divergent"]
+    # the corrupted vision block is among the flagged layers (everything
+    # downstream of it diverges too — the dump is sorted by path, so
+    # first_divergent narrows to execution order only within a subtree)
+    divergent = [r["layer"] for r in report["results"] if not r["ok"]]
+    assert any("vision" in name for name in divergent)
+
+
+def test_parity_cli_qwen_dump(tmp_path):
+    from multimodal_embeddings_tpu.cli import parity as parity_cli
+
+    out = tmp_path / "qwen.json"
+    rc = parity_cli.main(
+        ["acts-dump", "--family", "qwen", "--size", "tiny", "--out", str(out)]
+    )
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert len(data["layers"]) > 10
+    assert parity_cli.main(["acts-compare", str(out), str(out)]) == 0
+
+
 def test_name_map_and_unmatched():
     ref = {
         "layers": {

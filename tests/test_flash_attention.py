@@ -51,6 +51,30 @@ class TestFlashAttention:
         want = sdpa(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    def test_gqa_decode_fold_matches_repeat(self):
+        """The lq==1 GQA fold (query heads onto the length axis, K/V
+        streamed once — the batched-decode fix) must equal the
+        materializing repeat path exactly."""
+        rng = np.random.default_rng(9)
+        b, lk, h, kvh, d = 3, 64, 8, 2, 16
+        q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, lk, kvh, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, lk, kvh, d)), jnp.float32)
+        mask = (jnp.arange(lk) < 40)[None, None, None, :]
+        got = sdpa(q, k, v, mask=mask)  # takes the fold branch
+        krep = jnp.repeat(k, h // kvh, axis=2)
+        vrep = jnp.repeat(v, h // kvh, axis=2)
+        want = sdpa(q, krep, vrep, mask=mask)  # kvh == h: plain path
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6
+        )
+        # unmasked variant
+        got2 = sdpa(q, k, v)
+        want2 = sdpa(q, krep, vrep)
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(want2), atol=2e-6
+        )
+
     def test_non_multiple_length(self):
         rng = np.random.default_rng(4)
         q, k, v = rand_qkv(rng, 1, 200, 2, 64)

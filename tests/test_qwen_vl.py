@@ -567,6 +567,30 @@ class TestParseCLI:
         idx_b = json.load(open("out_b/parse_index.json"))
         assert idx_1 == idx_b
 
+    def test_parse_cli_data_parallel_matches(self, tmp_path, monkeypatch):
+        """--data_parallel 2 (pages sharded over the mesh data axis, one
+        SPMD generate program) must emit byte-identical artifacts to the
+        single-device parse — including an odd page count, which pads the
+        final batch by repeating its last page and drops the surplus."""
+        from multimodal_embeddings_tpu.cli.parse import main
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("pages")
+        rng = np.random.default_rng(11)
+        for i in range(3):
+            arr = rng.integers(0, 256, size=(90, 120, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(f"pages/doc{i}.png")
+        base = ["--input_folder", "pages", "--size", "tiny",
+                "--max_new_tokens", "6"]
+        assert main([*base, "--output_folder", "out_1"]) == 0
+        assert main([*base, "--output_folder", "out_dp",
+                     "--data_parallel", "2", "--batch_size", "2"]) == 0
+        for i in range(3):
+            for suffix in ("qwen.html", "clean.html"):
+                a = open(f"out_1/doc{i}.{suffix}").read()
+                b = open(f"out_dp/doc{i}.{suffix}").read()
+                assert a == b, (i, suffix)
+
     def test_parse_cli_pipeline_parallel_matches(self, tmp_path, monkeypatch):
         """--pipeline_parallel 2 (the 32B serving shape: decoder stack
         over a stage ring) must emit byte-identical HTML artifacts to the
