@@ -7,7 +7,7 @@ prompt (reference behavior: notebook ``QWEN2_5_document_parsing.ipynb``
 cell ``d43bacc8``'s ``inference()``):
 
 * prefill — one :func:`pipeline_decode_step` pass whose layer_fn runs
-  the full-sequence causal block and emits the max_len-padded KV cache
+  the full-sequence causal block and emits the tight-padded KV cache
   as the layer's new state (input state ignored);
 * decode — one :func:`pipeline_decode_step` per token, updating each
   stage's resident caches in place;
@@ -130,7 +130,13 @@ def pp_greedy_generate(
         position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
     )
 
-    kv_shape = (b, cfg.max_len, cfg.kv_heads, cfg.head_dim)
+    # tight static cache (same rule as build_generate_fns): decode steps
+    # read the whole padded cache under the position mask, so size it to
+    # prompt + generation, not max_len
+    cache_len = min(
+        cfg.max_len, -(-(prompt_len + max_new_tokens) // 128) * 128
+    )
+    kv_shape = (b, cache_len, cfg.kv_heads, cfg.head_dim)
     per = cfg.layers // n_stages
     zero_state = (
         jnp.zeros((n_stages, per, *kv_shape), jnp.float32),
@@ -139,7 +145,7 @@ def pp_greedy_generate(
 
     def prefill_fn(lp, state, h):
         h2, (k, v) = block.apply({"params": lp}, h, cos, sin)
-        pad = cfg.max_len - k.shape[1]
+        pad = cache_len - k.shape[1]
         return h2, (
             jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))),
             jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))),

@@ -626,7 +626,12 @@ class QwenVLModel(nn.Module):
 _GENERATE_CACHE: dict = {}
 
 
-def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int):
+def build_generate_fns(
+    model: QwenVLModel,
+    prompt_len: int,
+    max_new_tokens: int,
+    early_stop: bool = True,
+):
     """Jitted (prefill, decode) pair for greedy generation.
 
     Both take the parameter tree as their FIRST ARGUMENT — closed-over
@@ -636,10 +641,18 @@ def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int)
 
     ``prefill(variables, tokens, imgs) -> (last_logits, caches, delta)``;
     ``decode(variables, last_logits, caches, delta) -> (B, T) token ids``
-    — the whole ``max_new_tokens`` greedy loop is ONE on-device
-    ``lax.scan`` program (no per-token host dispatch; through the axon
-    tunnel a per-token loop would pay the ~4ms dispatch floor 1024×).
-    """
+    — the whole ``max_new_tokens`` greedy loop is ONE on-device program
+    (no per-token host dispatch; through the axon tunnel a per-token loop
+    would pay the ~4ms dispatch floor 1024×).
+
+    ``early_stop=True`` (default) runs it as a ``lax.while_loop`` that
+    exits once EVERY batch row has emitted EOS — the HF ``generate``
+    stopping contract (reference notebook cell ``d43bacc8``), worth real
+    wall-clock on short pages. ``early_stop=False`` runs the fixed
+    ``lax.scan`` — what benchmarks use, so the measured decode cost is
+    the honest full-length figure independent of what the (synthetic)
+    weights emit. Emitted tokens are IDENTICAL (post-EOS slots are
+    EOS-padded either way; test-locked)."""
     eos = model.config.eos_id
     # tight static cache: prompt + generation, rounded to the lane width —
     # NOT max_len (every decode step reads the whole padded cache; at
@@ -656,23 +669,29 @@ def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int)
         )
         return logits[:, -1], caches, delta
 
+    def _advance(variables, token, caches, done, delta, t):
+        """One greedy step: emit ``token``'s successor, EOS-pin done rows."""
+        logits, caches = model.apply(
+            variables,
+            token[:, None],
+            caches,
+            prompt_len + t,
+            delta,
+            method=model.decode_step,
+        )
+        next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        next_token = jnp.where(done, eos, next_token)
+        return next_token, caches, done | (next_token == eos)
+
     @jax.jit
     def decode(variables, last_logits, caches, delta):
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         def step(carry, t):
             token, caches, done = carry
-            logits, caches = model.apply(
-                variables,
-                token[:, None],
-                caches,
-                prompt_len + t,
-                delta,
-                method=model.decode_step,
+            next_token, caches, done = _advance(
+                variables, token, caches, done, delta, t
             )
-            next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            next_token = jnp.where(done, eos, next_token)
-            done = done | (next_token == eos)
             return (next_token, caches, done), token
 
         init = (first_token, caches, first_token == eos)
@@ -681,7 +700,31 @@ def build_generate_fns(model: QwenVLModel, prompt_len: int, max_new_tokens: int)
         )
         return tokens.transpose(1, 0)  # (B, T)
 
-    return prefill, decode
+    @jax.jit
+    def decode_early(variables, last_logits, caches, delta):
+        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        b = first_token.shape[0]
+        out0 = jnp.full((b, max_new_tokens), eos, jnp.int32)
+
+        def cond(carry):
+            t, _, _, done, _ = carry
+            return (t < max_new_tokens) & ~jnp.all(done)
+
+        def body(carry):
+            t, token, caches, done, out = carry
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, token[:, None], t, axis=1
+            )
+            next_token, caches, done = _advance(
+                variables, token, caches, done, delta, t
+            )
+            return t + 1, next_token, caches, done, out
+
+        init = (0, first_token, caches, first_token == eos, out0)
+        *_, out = jax.lax.while_loop(cond, body, init)
+        return out
+
+    return prefill, (decode_early if early_stop else decode)
 
 
 def greedy_generate(
@@ -690,13 +733,16 @@ def greedy_generate(
     token_ids: np.ndarray,
     images: Optional[np.ndarray] = None,
     max_new_tokens: int = 128,
+    early_stop: bool = True,
 ) -> np.ndarray:
-    """Greedy decoding with a static KV cache under ``lax.scan``.
+    """Greedy decoding with a static KV cache in one on-device program.
 
     Returns the generated token ids (B, max_new_tokens); positions after
-    EOS are padded with EOS. Jitted prefill/decode programs are cached per
-    (model, shapes) so repeated page parses reuse compiles; weights travel
-    as jit arguments (``build_generate_fns``).
+    EOS are padded with EOS. ``early_stop`` exits the loop once every row
+    has emitted EOS (HF ``generate`` semantics; identical tokens either
+    way). Jitted prefill/decode programs are cached per (model, shapes)
+    so repeated page parses reuse compiles; weights travel as jit
+    arguments (``build_generate_fns``).
     """
     prompt = jnp.asarray(token_ids)
     b, prompt_len = prompt.shape
@@ -708,10 +754,14 @@ def greedy_generate(
         )
 
     img_shape = None if images is None else tuple(np.shape(images))
-    cache_key = (id(model), b, prompt_len, max_new_tokens, img_shape)
+    cache_key = (
+        id(model), b, prompt_len, max_new_tokens, img_shape, early_stop
+    )
     cached = _GENERATE_CACHE.get(cache_key)
     if cached is None:
-        cached = build_generate_fns(model, prompt_len, max_new_tokens)
+        cached = build_generate_fns(
+            model, prompt_len, max_new_tokens, early_stop=early_stop
+        )
         _GENERATE_CACHE[cache_key] = cached
     prefill, decode = cached
     last_logits, caches, delta = prefill(

@@ -236,7 +236,12 @@ def main() -> int:
     if batch > 1:
         ids = np.tile(ids, (batch, 1))
 
-    prefill, decode = build_generate_fns(model, prompt_len, max_new)
+    # early_stop=False: the fixed-length scan, so the measured decode cost
+    # is the honest full-1024-token figure independent of what the
+    # synthetic weights happen to emit
+    prefill, decode = build_generate_fns(
+        model, prompt_len, max_new, early_stop=False
+    )
 
     # --- compile + warm ---
     t0 = time.perf_counter()

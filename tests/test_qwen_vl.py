@@ -180,6 +180,39 @@ class TestEndToEndParse:
         # (fixed square resize), so the returned dims reflect image_size
         assert (in_w, in_h) == (56, 56)
 
+    def test_early_stop_decode_token_equal(self, tiny_qwen):
+        """The early-exit while_loop decode (HF generate's all-rows-EOS
+        stopping contract) must emit exactly the fixed-length scan's
+        tokens — both when EOS never fires and when it fires early."""
+        import dataclasses as dc
+
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVLModel
+
+        model, variables = tiny_qwen
+        ids = np.ones((2, 12), np.int32)
+        ids[:, 3:7] = model.config.image_pad_id
+        rng = np.random.default_rng(5)
+        imgs = rng.random((2, 56, 56, 3)).astype(np.float32)
+        scan_out = greedy_generate(
+            model, variables, ids, imgs, max_new_tokens=8, early_stop=False
+        )
+        early_out = greedy_generate(
+            model, variables, ids, imgs, max_new_tokens=8, early_stop=True
+        )
+        np.testing.assert_array_equal(early_out, scan_out)
+
+        # force an early EOS: re-declare the 3rd emitted token as EOS
+        eos_tok = int(scan_out[0, 2])
+        model2 = QwenVLModel(dc.replace(model.config, eos_id=eos_tok))
+        scan2 = greedy_generate(
+            model2, variables, ids, imgs, max_new_tokens=8, early_stop=False
+        )
+        early2 = greedy_generate(
+            model2, variables, ids, imgs, max_new_tokens=8, early_stop=True
+        )
+        np.testing.assert_array_equal(early2, scan2)
+        assert (scan2[0] == eos_tok).any()  # EOS actually fired
+
     def test_parse_batch_matches_single(self, tiny_qwen, tmp_path):
         """Batched parsing (the TPU throughput shape: decode is
         weight-streaming bound, so B pages share one weight read per step)
