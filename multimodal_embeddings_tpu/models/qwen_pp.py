@@ -138,9 +138,10 @@ def pp_greedy_generate(
     )
     kv_shape = (b, cache_len, cfg.kv_heads, cfg.head_dim)
     per = cfg.layers // n_stages
+    kvd = jnp.dtype(cfg.kv_dtype)  # bf16 cache, same as single-device
     zero_state = (
-        jnp.zeros((n_stages, per, *kv_shape), jnp.float32),
-        jnp.zeros((n_stages, per, *kv_shape), jnp.float32),
+        jnp.zeros((n_stages, per, *kv_shape), kvd),
+        jnp.zeros((n_stages, per, *kv_shape), kvd),
     )
 
     def prefill_fn(lp, state, h):

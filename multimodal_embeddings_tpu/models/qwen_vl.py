@@ -79,6 +79,15 @@ class QwenTextConfig:
     # head_dim//2) assigned to the temporal/height/width position streams
     # (HF Qwen2.5-VL mrope_section [16, 24, 24])
     mrope_section: Tuple[int, int, int] = (16, 24, 24)
+    # KV-cache storage dtype. bf16 matches the reference serving numerics
+    # (the notebook loads the model in bf16 and HF caches K/V at the model
+    # dtype) and HALVES the per-step cache stream — decode reads the whole
+    # padded cache every step, so at batch 8 the f32 cache was a large
+    # share of the 2.9ms step tax over the weight-stream floor, and the
+    # f32 KV allocation was half the 3b-int8 batch-16 OOM. Attention
+    # still computes f32 logits/softmax on the upcast (fused into the
+    # dot, no f32 cache materialization).
+    kv_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -455,14 +464,19 @@ class QwenBlock(nn.Module):
         # (B, L, d/2) on prefill, (B, 1, d/2) on decode
         q = apply_rope_batched(q, cos, sin)
         k = apply_rope_batched(k, cos, sin)
+        kvd = jnp.dtype(cfg.kv_dtype)
         if position is None:
-            new_cache = (k, v)
+            new_cache = (k.astype(kvd), v.astype(kvd))
             attn = sdpa(q, k, v, mask=mask, causal=True)
         else:
             # single-step decode against a static cache
             k_cache, v_cache = cache
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, position, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, position, axis=1)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k.astype(k_cache.dtype), position, axis=1
+            )
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v.astype(v_cache.dtype), position, axis=1
+            )
             new_cache = (k_cache, v_cache)
             valid = (
                 jnp.arange(k_cache.shape[1])[None, None, None, :] <= position
@@ -562,6 +576,7 @@ class QwenVLModel(nn.Module):
         images: Optional[jnp.ndarray] = None,
         attention_mask: Optional[jnp.ndarray] = None,
         cache_len: Optional[int] = None,
+        last_only: bool = False,
     ):
         """Prefill forward: returns (logits, kv_caches padded to
         ``cache_len`` — default ``max_len`` — and mrope_delta (B,), the
@@ -573,7 +588,14 @@ class QwenVLModel(nn.Module):
         4096-slot cache behind a 1600-token parse streams 2.5× the KV
         bytes for nothing — material once batched decode amortizes the
         weight stream (B × layers × 2 × kv_heads × head_dim × cache_len
-        per step)."""
+        per step).
+
+        ``last_only=True`` computes lm_head logits for the FINAL position
+        only (all greedy generation needs) — the full (B, L, vocab_size)
+        tensor is multi-GB at parse shapes (b16 × 551 × 152k vocab f32 =
+        5.4GB, the measured 3b-int8 batch-16 prefill OOM) and XLA does
+        not reliably push the caller's ``[:, -1]`` slice through the
+        matmul."""
         cfg = self.config.text
         x = self.embed_multimodal(token_ids, images)
         position_ids, delta = qwen_mrope_position_ids(
@@ -594,6 +616,8 @@ class QwenVLModel(nn.Module):
                     jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))),
                 )
             )
+        if last_only:
+            x = x[:, -1:]
         x = self.final_norm(x)
         return self.lm_head(x), caches, delta
 
@@ -665,7 +689,7 @@ def build_generate_fns(
     @jax.jit
     def prefill(variables, tokens, imgs):
         logits, caches, delta = model.apply(
-            variables, tokens, imgs, cache_len=cache_len
+            variables, tokens, imgs, cache_len=cache_len, last_only=True
         )
         return logits[:, -1], caches, delta
 

@@ -67,27 +67,43 @@ class TestModel:
 
     def test_cached_decode_matches_full_forward(self, tiny_qwen):
         """The incremental KV-cache path must produce the same logits as
-        recomputing the full sequence."""
+        recomputing the full sequence. Cache MECHANICS are verified exact
+        at kv_dtype=float32; the bf16 serving default (the notebook's HF
+        bf16 cache numerics) gets a coarser bound — its only difference
+        is the one storage rounding of K/V."""
+        import dataclasses as dc
+
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVLModel
+
         model, variables = tiny_qwen
         rng = np.random.default_rng(0)
         prompt = rng.integers(6, 200, (1, 8)).astype(np.int32)
         next_tok = rng.integers(6, 200, (1, 1)).astype(np.int32)
 
-        logits_p, caches, _ = model.apply(variables, jnp.asarray(prompt), None)
-        step_logits, _ = model.apply(
-            variables,
-            jnp.asarray(next_tok),
-            caches,
-            8,
-            method=model.decode_step,
-        )
         full = np.concatenate([prompt, next_tok], axis=1)
         logits_full, _, _ = model.apply(variables, jnp.asarray(full), None)
-        np.testing.assert_allclose(
-            np.asarray(step_logits[:, -1]),
-            np.asarray(logits_full[:, -1]),
-            atol=2e-4,
-        )
+
+        for kvd, atol in [("float32", 2e-4), ("bfloat16", 3e-2)]:
+            m = QwenVLModel(
+                dc.replace(
+                    model.config,
+                    text=dc.replace(model.config.text, kv_dtype=kvd),
+                )
+            )
+            logits_p, caches, _ = m.apply(variables, jnp.asarray(prompt), None)
+            step_logits, _ = m.apply(
+                variables,
+                jnp.asarray(next_tok),
+                caches,
+                8,
+                method=m.decode_step,
+            )
+            np.testing.assert_allclose(
+                np.asarray(step_logits[:, -1]),
+                np.asarray(logits_full[:, -1]),
+                atol=atol,
+                err_msg=f"kv_dtype={kvd}",
+            )
 
     def test_greedy_generate(self, tiny_qwen):
         model, variables = tiny_qwen
@@ -340,7 +356,12 @@ class TestQwen25Fidelity:
 
     def test_cached_decode_matches_full_forward_with_image(self, tiny_qwen):
         """Decode-step M-RoPE must account for the image position delta:
-        incremental logits equal the full recompute."""
+        incremental logits equal the full recompute (exact cache mechanics
+        verified at kv_dtype=float32; see the no-image twin for why)."""
+        import dataclasses as dc
+
+        from multimodal_embeddings_tpu.models.qwen_vl import QwenVLModel
+
         model, variables = tiny_qwen
         rng = np.random.default_rng(1)
         prompt = rng.integers(6, 200, (1, 8)).astype(np.int32)
@@ -348,17 +369,23 @@ class TestQwen25Fidelity:
         imgs = jnp.asarray(rng.normal(size=(1, 56, 56, 3)), jnp.float32)
         next_tok = rng.integers(6, 200, (1, 1)).astype(np.int32)
 
-        logits_p, caches, delta = model.apply(variables, jnp.asarray(prompt), imgs)
-        step_logits, _ = model.apply(
+        m = QwenVLModel(
+            dc.replace(
+                model.config,
+                text=dc.replace(model.config.text, kv_dtype="float32"),
+            )
+        )
+        logits_p, caches, delta = m.apply(variables, jnp.asarray(prompt), imgs)
+        step_logits, _ = m.apply(
             variables,
             jnp.asarray(next_tok),
             caches,
             8,
             delta,
-            method=model.decode_step,
+            method=m.decode_step,
         )
         full = np.concatenate([prompt, next_tok], axis=1)
-        logits_full, _, _ = model.apply(variables, jnp.asarray(full), imgs)
+        logits_full, _, _ = m.apply(variables, jnp.asarray(full), imgs)
         np.testing.assert_allclose(
             np.asarray(step_logits[:, -1]),
             np.asarray(logits_full[:, -1]),
