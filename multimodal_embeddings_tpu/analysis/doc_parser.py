@@ -210,6 +210,7 @@ class DocumentParser:
         pp_mesh=None,
         pp_stages: Optional[int] = None,
         dp_mesh=None,
+        prefill_chunk: int = 0,
     ):
         """``dynamic_resolution=True`` runs the Qwen2.5-VL native-aspect
         path: the page is smart-resized onto its own merged-patch grid
@@ -229,7 +230,14 @@ class DocumentParser:
         throughput shape for bulk parsing (batched decode amortizes the
         weight stream per chip; dp multiplies chips). Artifacts equal the
         single-device parse (test-locked). Mutually exclusive with the
-        PP ring."""
+        PP ring.
+
+        ``prefill_chunk=C`` prefills ``parse_batch`` C pages at a time
+        (token-identical; ``models/qwen_vl.py::build_generate_fns``) so
+        the decode batch — whose per-step cost amortizes the weight
+        stream near-flat — can exceed what one whole-batch prefill's
+        attention-logits transient fits. Ignored under ``dp_mesh`` (the
+        sharded batch must stay one SPMD program)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -243,6 +251,7 @@ class DocumentParser:
         self.pp_mesh = pp_mesh
         self.pp_stages = pp_stages
         self.dp_mesh = dp_mesh
+        self.prefill_chunk = prefill_chunk
         self._dp_variables = None
 
     def build_prompt_ids(self, n_image_tokens: int, max_len: int) -> np.ndarray:
@@ -358,6 +367,9 @@ class DocumentParser:
             out_tokens = greedy_generate(
                 self.model, variables, ids, arr,
                 max_new_tokens=max_new_tokens,
+                prefill_chunk=(
+                    0 if self.dp_mesh is not None else self.prefill_chunk
+                ),
             )
             for row, (i, _) in zip(out_tokens, items):
                 results[i] = (self.decode_tokens(row), input_h, input_w)

@@ -655,6 +655,7 @@ def build_generate_fns(
     prompt_len: int,
     max_new_tokens: int,
     early_stop: bool = True,
+    prefill_chunk: int = 0,
 ):
     """Jitted (prefill, decode) pair for greedy generation.
 
@@ -676,7 +677,16 @@ def build_generate_fns(
     ``lax.scan`` — what benchmarks use, so the measured decode cost is
     the honest full-length figure independent of what the (synthetic)
     weights emit. Emitted tokens are IDENTICAL (post-EOS slots are
-    EOS-padded either way; test-locked)."""
+    EOS-padded either way; test-locked).
+
+    ``prefill_chunk=C`` (0 = off) runs prefill C pages at a time and
+    concatenates the per-chunk caches/logits along the batch axis —
+    token-identical (prefill is batch-row-independent). This decouples
+    the DECODE batch (whose per-step cost amortizes the weight stream
+    near-flat: 10.3/11.2/12.9 ms at b8/16/32, r4-11) from the PREFILL
+    batch, whose b×heads×L×L attention logits transient is what OOMs
+    first — so bulk decode can run at batches prefill alone could
+    never fit."""
     eos = model.config.eos_id
     # tight static cache: prompt + generation, rounded to the lane width —
     # NOT max_len (every decode step reads the whole padded cache; at
@@ -687,11 +697,38 @@ def build_generate_fns(
     )
 
     @jax.jit
-    def prefill(variables, tokens, imgs):
+    def _prefill(variables, tokens, imgs):
         logits, caches, delta = model.apply(
             variables, tokens, imgs, cache_len=cache_len, last_only=True
         )
         return logits[:, -1], caches, delta
+
+    if prefill_chunk and prefill_chunk > 0:
+
+        def prefill(variables, tokens, imgs):
+            b = tokens.shape[0]
+            c = prefill_chunk
+            if b <= c:
+                return _prefill(variables, tokens, imgs)
+            if b % c:
+                raise ValueError(
+                    f"batch {b} not divisible by prefill_chunk {c} — one "
+                    "chunk program per shape; pad the batch instead"
+                )
+            parts = [
+                _prefill(
+                    variables,
+                    tokens[i : i + c],
+                    None if imgs is None else imgs[i : i + c],
+                )
+                for i in range(0, b, c)
+            ]
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts
+            )
+
+    else:
+        prefill = _prefill
 
     def _advance(variables, token, caches, done, delta, t):
         """One greedy step: emit ``token``'s successor, EOS-pin done rows."""
@@ -758,6 +795,7 @@ def greedy_generate(
     images: Optional[np.ndarray] = None,
     max_new_tokens: int = 128,
     early_stop: bool = True,
+    prefill_chunk: int = 0,
 ) -> np.ndarray:
     """Greedy decoding with a static KV cache in one on-device program.
 
@@ -779,12 +817,14 @@ def greedy_generate(
 
     img_shape = None if images is None else tuple(np.shape(images))
     cache_key = (
-        id(model), b, prompt_len, max_new_tokens, img_shape, early_stop
+        id(model), b, prompt_len, max_new_tokens, img_shape, early_stop,
+        prefill_chunk,
     )
     cached = _GENERATE_CACHE.get(cache_key)
     if cached is None:
         cached = build_generate_fns(
-            model, prompt_len, max_new_tokens, early_stop=early_stop
+            model, prompt_len, max_new_tokens, early_stop=early_stop,
+            prefill_chunk=prefill_chunk,
         )
         _GENERATE_CACHE[cache_key] = cached
     prefill, decode = cached

@@ -143,6 +143,12 @@ def main() -> int:
         "into the HF default 1280*28*28 pixel budget instead of a fixed "
         "square",
     )
+    parser.add_argument(
+        "--prefill_chunk", type=int, default=0,
+        help="prefill C pages at a time (token-identical) so the decode "
+        "batch can exceed what one whole-batch prefill's attention-logits "
+        "transient fits (0 = whole-batch prefill)",
+    )
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--page", default=None)
     parser.add_argument("--iters", type=int, default=2)
@@ -240,7 +246,8 @@ def main() -> int:
     # is the honest full-1024-token figure independent of what the
     # synthetic weights happen to emit
     prefill, decode = build_generate_fns(
-        model, prompt_len, max_new, early_stop=False
+        model, prompt_len, max_new, early_stop=False,
+        prefill_chunk=args.prefill_chunk,
     )
 
     # --- compile + warm ---
@@ -307,6 +314,7 @@ def main() -> int:
         key = (
             f"{args.size}{'_native' if args.native else ''}"
             f"{f'_b{batch}' if batch > 1 else ''}"
+            f"{f'_pc{args.prefill_chunk}' if args.prefill_chunk else ''}"
         )
         try:
             with open(path) as f:
