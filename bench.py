@@ -210,6 +210,7 @@ def build_pipeline(
             closure_weights=True,
             embed_closure=True,
         )
+        _attach_headline_flops(fused, detector, embedder, n_regions)
         return fused, page_hw, n_regions
     if family == "mme5" and not quick:
         # two-program split (pipeline/fused.py::build_split_page_fn): the
@@ -266,7 +267,23 @@ def build_pipeline(
             letterbox=letterbox, closure_weights=closure_weights,
             auto_layouts=auto_layouts,
         )
+    if family == "siglip" and not quick:
+        _attach_headline_flops(fused, detector, embedder, n_regions)
     return fused, page_hw, n_regions
+
+
+def _attach_headline_flops(fused, detector, embedder, n_regions: int) -> None:
+    """Analytic per-page FLOPs for the headline MFU line (r4 verdict #5):
+    YOLO convs + ViT-B matmuls counted from traced shapes
+    (utils/flops.py::headline_flops_per_page), independent of which
+    kernel executes them — XLA cost_analysis is blind inside the Pallas
+    attention custom calls that are the default."""
+    from multimodal_embeddings_tpu.utils.flops import headline_flops_per_page
+
+    n_views = 1 + sum(r * c for r, c in detector.config.grid_configs)
+    fused._headline_flops = headline_flops_per_page(
+        detector, embedder, n_views=n_views, n_regions=n_regions
+    )
 
 
 def run_bench(
@@ -347,6 +364,7 @@ def run_bench(
         "mme5_chunk": getattr(fused, "_chunk", None),
         "text_chunk": getattr(fused, "_text_chunk", None),
         "analytic_flops": getattr(fused, "_analytic_flops", None),
+        "headline_flops": getattr(fused, "_headline_flops", None),
     }
 
 
@@ -841,6 +859,16 @@ def main() -> None:
         "unit": "pages/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
+    hflops = info.get("headline_flops") or {}
+    if hflops.get("total_flops_per_page"):
+        # analytic matmul/conv count (utils/flops.py; r4 verdict #5) —
+        # conservative: letterbox/decode/NMS/crop device work is untimed
+        # overhead carrying no counted FLOPs
+        line["flops_per_page_analytic"] = hflops["total_flops_per_page"]
+        line["mfu_vs_197tflops_bf16"] = round(
+            hflops["total_flops_per_page"] * info["pages_per_sec"] / 197e12,
+            4,
+        )
     mme5_path = os.path.join(here, "BENCH_MME5.json")
     if os.path.exists(mme5_path) and not args.quick:
         with open(mme5_path) as f:

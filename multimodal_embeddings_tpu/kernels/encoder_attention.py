@@ -202,6 +202,133 @@ def encoder_attention_blhd(
     return out
 
 
+def _enc_attn_blf_kernel(
+    q_ref,  # (1, L, hpb*D)
+    k_ref,  # (1, L, hpb*D)
+    v_ref,  # (1, L, hpb*Dv)
+    o_ref,  # (1, L, hpb*Dv)
+    *,
+    sm_scale: float,
+    heads: int,
+    d: int,
+    dv: int,
+):
+    """Heads folded onto the LANE axis: every prior true-BLHD form died in
+    Mosaic because the head axis sat on sublanes (needs 8-divisibility;
+    H=12 fails — chains 23/r4-01/r4-02b). Here q/k/v arrive as (B, L, H·D)
+    — the natural GEMM output layout — and the per-head (L, D) views are
+    STATIC lane slices at multiples of D, so there is no transpose
+    anywhere in the whole attention block: projections are plain matmuls,
+    the DMA streams contiguous slabs, and the out-projection contracts the
+    (B, L, H·Dv) result directly."""
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    for h in range(heads):
+        q = q_ref[0, :, h * d : (h + 1) * d].astype(mxu_dtype)  # (L, D)
+        k = k_ref[0, :, h * d : (h + 1) * d].astype(mxu_dtype)
+        v = v_ref[0, :, h * dv : (h + 1) * dv].astype(mxu_dtype)
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        o = jnp.dot(e.astype(mxu_dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dv : (h + 1) * dv] = (
+            o / jnp.maximum(denom, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def _blf_pick_hpb(l, h, d, dv, dtype):
+    """Largest head block whose lane width is legal AND fits VMEM, or None.
+
+    Lane legality: the block's minor dim must be a multiple of the 128
+    lane tile — hpb·D (and hpb·Dv) ≡ 0 (mod 128) — or the full array dim
+    (hpb == H). The sublane axis holds L (full dim, always legal), so the
+    H=12 8-divisibility wall that killed the 4-D BLHD specs never
+    applies. Whole-row scores only (no row chunking): callers gate on L."""
+    elem = jnp.dtype(dtype).itemsize
+    ib = 6 if dtype == jnp.bfloat16 else 8
+    inter = ib * l * l
+    legal = {
+        c
+        for c in range(1, h + 1)
+        if h % c == 0 and ((c * d) % 128 == 0 and (c * dv) % 128 == 0 or c == h)
+    }
+    fitting = [
+        hpb
+        for hpb in legal
+        if 2 * l * hpb * (2 * d + 2 * dv) * elem + inter <= 14e6
+    ]
+    return max(fitting) if fitting else None
+
+
+def blf_supported(l: int, h: int, d: int, dv: int, dtype) -> bool:
+    """Whether the lane-folded (B, L, H·D) variant can run at this shape."""
+    return l % 16 == 0 and _blf_pick_hpb(l, h, d, dv, dtype) is not None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "sm_scale", "heads_per_block", "interpret"),
+)
+def encoder_attention_blf(
+    q: jnp.ndarray,  # (B, L, H*D) — head-major lane layout
+    k: jnp.ndarray,  # (B, L, H*D)
+    v: jnp.ndarray,  # (B, L, H*Dv)
+    heads: int,
+    sm_scale: Optional[float] = None,
+    heads_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Zero-transpose whole-row attention over lane-folded head slabs.
+
+    Same math as ``encoder_attention`` (unmasked per-row softmax); the
+    operands never leave the plain (B, L, features) GEMM layout, so the
+    q/k/v projections, the kernel DMA, and the out-projection all run on
+    the layout XLA would pick for the matmuls anyway. Returns
+    (B, L, H·Dv) in q's dtype."""
+    b, l, f = q.shape
+    assert f % heads == 0 and v.shape[2] % heads == 0, (f, v.shape, heads)
+    d = f // heads
+    dv = v.shape[2] // heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if heads_per_block is None:
+        heads_per_block = _blf_pick_hpb(l, heads, d, dv, q.dtype)
+        if heads_per_block is None:
+            raise ValueError(
+                f"no legal lane-folded head block at {q.shape} — guard with "
+                "blf_supported() before dispatching"
+            )
+    assert heads % heads_per_block == 0, (heads, heads_per_block)
+
+    def spec(depth):
+        return pl.BlockSpec(
+            (1, l, heads_per_block * depth),
+            lambda i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _enc_attn_blf_kernel,
+            sm_scale=sm_scale,
+            heads=heads_per_block,
+            d=d,
+            dv=dv,
+        ),
+        grid=(b, heads // heads_per_block),
+        in_specs=[spec(d), spec(d), spec(dv)],
+        out_specs=spec(dv),
+        out_shape=jax.ShapeDtypeStruct((b, l, heads * dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -131,6 +131,23 @@ def _enc_attn_proj_mode() -> Optional[str]:
     return None
 
 
+def _enc_attn_blf_mode() -> Optional[str]:
+    """Lane-folded zero-transpose encoder attention: q/k/v projected as
+    plain GEMMs to (B, L, H·D) and ``encoder_attention_blf`` reading
+    per-head (L, D) views as static lane slices — no transpose anywhere
+    (the 4-D true-BLHD forms all died on Mosaic's sublane 8-divisibility
+    at H=12; folding heads onto lanes sidesteps the constraint).
+    OPT-IN via ``MMTPU_ENC_ATTN_BLF=1`` pending the in-model A/B vs the
+    r4-07 proj-to-BHLD default. Returns "tpu"/"interpret"/None."""
+    import os
+
+    if os.environ.get("MMTPU_ENC_ATTN_BLF_INTERPRET") == "1":
+        return "interpret"
+    if os.environ.get("MMTPU_ENC_ATTN_BLF") == "1" and _on_tpu_backend():
+        return "tpu"
+    return None
+
+
 def _ln_fuse_mode() -> Optional[str]:
     """Where the fused LayerNorm→matmul prologue can run: ``"tpu"`` when
     the Pallas kernel can lower, ``"interpret"`` under the CPU test
@@ -471,15 +488,23 @@ class Attention(nn.Module):
             and not self.quantize
             and (self.num_kv_heads or self.num_heads) == self.num_heads
         ):
-            proj_mode = _enc_attn_proj_mode()
             l = x.shape[1]
-            if (
-                proj_mode is not None
-                and _ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN
-                and l % 16 == 0
-                and self.head_dim <= 128
-            ):
-                return self._proj_bhld(x, proj_mode)
+            if _ENC_ATTN_MIN_LEN <= l <= _ENC_ATTN_MAX_LEN and l % 16 == 0 \
+                    and self.head_dim <= 128:
+                blf_mode = _enc_attn_blf_mode()
+                if blf_mode is not None:
+                    from multimodal_embeddings_tpu.kernels.encoder_attention import (  # noqa: E501
+                        blf_supported,
+                    )
+
+                    if blf_supported(
+                        l, self.num_heads, self.head_dim, self.head_dim,
+                        self.dtype,
+                    ):
+                        return self._proj_blf(x, blf_mode)
+                proj_mode = _enc_attn_proj_mode()
+                if proj_mode is not None:
+                    return self._proj_bhld(x, proj_mode)
         kv = x if kv is None else kv
         kvh = self.num_kv_heads or self.num_heads
         if self.quantize:
@@ -600,6 +625,41 @@ class Attention(nn.Module):
             (h, hd, d_model), (HEADS, HEAD_DIM, EMBED), name="o"
         )()
         return jnp.einsum("bhld,hdc->blc", o, wo.astype(self.dtype))
+
+    def _proj_blf(self, x, mode):
+        """Self-attention with q/k/v as PLAIN matmuls to (B, L, H·D) and
+        the lane-folded kernel reading per-head views as static lane
+        slices (``encoder_attention_blf``) — zero transposes end to end:
+        unlike ``_proj_bhld`` (whose projection einsum writes a
+        (B, H, L, D) layout), every GEMM here keeps its natural output
+        layout. Param tree identical to the default path (the reshape of
+        DenseGeneral's (C, H, D) kernel to (C, H·D) is a view)."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+
+        d_model = x.shape[-1]
+        h, hd = self.num_heads, self.head_dim
+        wq, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, HEADS, HEAD_DIM), name="q"
+        )()
+        wk, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, KV_HEADS, HEAD_DIM), name="k"
+        )()
+        wv, _ = _DenseParams(
+            (d_model, h, hd), (EMBED, KV_HEADS, HEAD_DIM), name="v"
+        )()
+        xd = x.astype(self.dtype)
+        q = xd @ wq.reshape(d_model, h * hd).astype(self.dtype)
+        k = xd @ wk.reshape(d_model, h * hd).astype(self.dtype)
+        v = xd @ wv.reshape(d_model, h * hd).astype(self.dtype)
+        o = encoder_attention_blf(
+            q, k, v, heads=h, interpret=(mode == "interpret")
+        )
+        wo, _ = _DenseParams(
+            (h, hd, d_model), (HEADS, HEAD_DIM, EMBED), name="o"
+        )()
+        return o @ wo.reshape(h * hd, d_model).astype(self.dtype)
 
     def _out_proj(self, x, out):
         if self.quantize:

@@ -83,6 +83,154 @@ def mllama_text_flops(
     )
 
 
+def _eqn_matmul_conv_flops(eqn) -> float:
+    name = eqn.primitive.name
+    if name == "dot_general":
+        (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+        lhs = eqn.invars[0].aval.shape
+        rhs = eqn.invars[1].aval.shape
+        batch = 1.0
+        for i in lb:
+            batch *= lhs[i]
+        k = 1.0
+        for i in lc:
+            k *= lhs[i]
+        skip_l, skip_r = set(lb) | set(lc), set(rb) | set(rc)
+        m = 1.0
+        for i, s in enumerate(lhs):
+            if i not in skip_l:
+                m *= s
+        n = 1.0
+        for i, s in enumerate(rhs):
+            if i not in skip_r:
+                n *= s
+        return 2.0 * batch * m * n * k
+    if name == "conv_general_dilated":
+        out_shape = eqn.outvars[0].aval.shape
+        rhs = eqn.invars[1].aval.shape
+        dn = eqn.params["dimension_numbers"]
+        k_in = rhs[dn.rhs_spec[1]]  # in-channels per feature group
+        k_spatial = 1.0
+        for d in dn.rhs_spec[2:]:
+            k_spatial *= rhs[d]
+        out_numel = 1.0
+        for s in out_shape:
+            out_numel *= s
+        return 2.0 * out_numel * k_in * k_spatial
+    return 0.0
+
+
+def jaxpr_matmul_conv_flops(jaxpr) -> float:
+    """Total matmul + conv FLOPs of a jaxpr, from operand SHAPES alone.
+
+    Walks ``dot_general`` / ``conv_general_dilated`` equations and
+    recurses into inner jaxprs: ``pjit``/calls (×1), ``scan`` (×length),
+    ``cond`` (max over branches), ``pallas_call`` (×grid product — the
+    kernel body's dots are counted like any other). ``while`` bodies are
+    skipped (data-dependent trip counts; in this codebase those are NMS /
+    early-stop control loops with ~zero matmul FLOPs). Elementwise work is
+    out of scope, matching the 2·MAC convention above.
+    """
+    from jax.extend.core import ClosedJaxpr as closed_t
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "while":
+            continue
+        if name == "cond":
+            branches = eqn.params.get("branches", ())
+            total += max(
+                (jaxpr_matmul_conv_flops(b.jaxpr) for b in branches),
+                default=0.0,
+            )
+            continue
+        mult = 1.0
+        if name == "scan":
+            mult = float(eqn.params.get("length", 1))
+        elif name == "pallas_call":
+            grid = ()
+            gm = eqn.params.get("grid_mapping")
+            if gm is not None:
+                grid = getattr(gm, "grid", ())
+            for g in grid:
+                if isinstance(g, int):
+                    mult *= g
+        inner = 0.0
+        for v in eqn.params.values():
+            if isinstance(v, closed_t):
+                inner += jaxpr_matmul_conv_flops(v.jaxpr)
+            elif hasattr(v, "eqns") and hasattr(v, "invars"):  # raw Jaxpr
+                inner += jaxpr_matmul_conv_flops(v)
+        total += mult * inner + _eqn_matmul_conv_flops(eqn)
+    return total
+
+
+def fn_matmul_conv_flops(fn, *args) -> float:
+    """Analytic matmul/conv FLOPs of ``fn(*args)`` via ``jax.make_jaxpr``
+    (args may be ``jax.ShapeDtypeStruct`` trees — no computation runs).
+
+    This is the headline-bench MFU counter (verdict r4 item 5): the
+    DocLayout-YOLO conv stack and the ViT-B embed tower are counted from
+    their traced shapes, independent of whether XLA or a Pallas kernel
+    executes them."""
+    import jax as _jax
+
+    return jaxpr_matmul_conv_flops(_jax.make_jaxpr(fn)(*args).jaxpr)
+
+
+def headline_flops_per_page(
+    detector, embedder, n_views: int, n_regions: int
+) -> dict:
+    """Analytic per-page matmul/conv FLOPs of the HEADLINE pipeline
+    (detect ``n_views`` letterboxed views + embed ``n_regions`` crops),
+    counted from the traced model forwards with the Pallas attention
+    dispatch forced OFF during tracing (same math, plain dot_generals —
+    the counter then sees every contraction as shapes)."""
+    import os
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    gates = ("MMTPU_ENC_ATTN", "MMTPU_ENC_ATTN_PROJ", "MMTPU_ENC_ATTN_BLF")
+    saved = {k: os.environ.get(k) for k in gates}
+    os.environ["MMTPU_ENC_ATTN"] = "0"
+    os.environ["MMTPU_ENC_ATTN_PROJ"] = "0"
+    os.environ["MMTPU_ENC_ATTN_BLF"] = "0"
+    try:
+        sd = lambda t: _jax.tree.map(  # noqa: E731
+            lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), t
+        )
+        size = detector.config.image_size
+        detect = fn_matmul_conv_flops(
+            lambda v, im: detector.model.apply(v, im, train=False),
+            sd(detector.variables),
+            _jax.ShapeDtypeStruct((n_views, size, size, 3), _jnp.float32),
+        )
+        vcfg = embedder.model_config.vision
+        emb_model = embedder.model
+        embed = fn_matmul_conv_flops(
+            lambda v, im: emb_model.apply(
+                v, im, method=emb_model.encode_image
+            ),
+            sd(embedder.variables),
+            _jax.ShapeDtypeStruct(
+                (n_regions, vcfg.image_size, vcfg.image_size, 3),
+                _jnp.float32,
+            ),
+        )
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+    return {
+        "detect_flops_per_page": detect,
+        "embed_flops_per_page": embed,
+        "total_flops_per_page": detect + embed,
+    }
+
+
 def mllama_embed_flops(
     cfg: "MllamaConfig", text_len: int, tiles: int = 1
 ) -> dict:

@@ -165,7 +165,8 @@ def main():
     parser.add_argument(
         "--variant",
         required=True,
-        choices=["xla", "bhld", "blhd_static", "blhd_grid", "proj_bhld"],
+        choices=["xla", "bhld", "blhd_static", "blhd_grid", "proj_bhld",
+                 "blf"],
     )
     parser.add_argument("--shape", default="vit", choices=["vit", "psa"])
     args = parser.parse_args()
@@ -206,7 +207,24 @@ def main():
 
     variant = args.variant
 
-    if variant == "proj_bhld":
+    if variant == "blf":
+        # lane-folded zero-transpose form (round 5): plain GEMMs to
+        # (B, L, H·D), per-head static LANE slices in-kernel — the one
+        # true-BLHD route the Mosaic sublane 8-divisibility wall (H=12)
+        # does not touch
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+
+        @jax.jit
+        def block(x, wq, wk, wv, wo):
+            q = x @ wq.reshape(c, h * d)
+            k = x @ wk.reshape(c, h * d)
+            v = x @ wv.reshape(c, h * dv)
+            o = encoder_attention_blf(q, k, v, heads=h, sm_scale=sm_scale)
+            return o @ wo.reshape(h * dv, c)
+
+    elif variant == "proj_bhld":
 
         @jax.jit
         def block(x, wq, wk, wv, wo):

@@ -228,6 +228,120 @@ class TestRowBlocking:
         assert 784 * 784 * 6 <= 8e6
 
 
+class TestBlfLaneFolded:
+    """Lane-folded zero-transpose variant: q/k/v as (B, L, H·D) slabs with
+    per-head static lane slices in-kernel (encoder_attention_blf). The 4-D
+    true-BLHD forms are Mosaic-illegal at H=12 (sublane 8-divisibility);
+    folding heads onto the lane axis is the legal formulation."""
+
+    def _qkv(self, b=2, l=64, h=4, d=32, dv=None, dtype=jnp.float32, seed=3):
+        dv = d if dv is None else dv
+        rng = np.random.default_rng(seed)
+        mk = lambda dd: jnp.asarray(
+            rng.normal(size=(b, l, h, dd)).astype(np.float32), dtype
+        )
+        return mk(d), mk(d), mk(dv)
+
+    @pytest.mark.parametrize("hpb", [None, 1, 2, 4])
+    def test_matches_base_kernel(self, hpb):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+
+        q, k, v = self._qkv()
+        b, l, h, d = q.shape
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention_blf(
+            q.reshape(b, l, h * d),
+            k.reshape(b, l, h * d),
+            v.reshape(b, l, h * d),
+            heads=h,
+            heads_per_block=hpb,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base.reshape(b, l, h * d)), atol=1e-6
+        )
+
+    def test_dv_wider_than_dk(self):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+
+        q, k, v = self._qkv(d=16, dv=32, seed=5)
+        b, l, h, d = q.shape
+        dv = v.shape[3]
+        base = encoder_attention(q, k, v, interpret=True)
+        got = encoder_attention_blf(
+            q.reshape(b, l, h * d),
+            k.reshape(b, l, h * d),
+            v.reshape(b, l, h * dv),
+            heads=h,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base.reshape(b, l, h * dv)), atol=1e-6
+        )
+
+    def test_hpb_picker_vit_shape_legal(self):
+        """At the ViT-B production shape (784, 12, 64, bf16) the picker
+        must choose a lane-legal block: hpb·64 ≡ 0 (mod 128) or full H,
+        inside the 14MB budget."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            _blf_pick_hpb,
+            blf_supported,
+        )
+
+        hpb = _blf_pick_hpb(784, 12, 64, 64, jnp.bfloat16)
+        assert hpb is not None and 12 % hpb == 0
+        assert (hpb * 64) % 128 == 0 or hpb == 12
+        inter = 6 * 784 * 784
+        assert 2 * 784 * hpb * (4 * 64) * 2 + inter <= 14e6
+        assert blf_supported(784, 12, 64, 64, jnp.bfloat16)
+        # whole-row only: a shape whose scores can't fit must be refused
+        assert not blf_supported(2048, 12, 64, 64, jnp.bfloat16)
+
+    def test_attention_module_blf_path_matches_default(self, monkeypatch):
+        """Same params, same input: the BLF opt-in must reproduce the
+        default DenseGeneral+sdpa path (param tree is shared)."""
+        from flax.linen import unbox
+
+        from multimodal_embeddings_tpu.models.transformer import Attention
+
+        b, l, d_model, heads = 2, 256, 128, 4
+        attn = Attention(
+            num_heads=heads, head_dim=d_model // heads, dtype=jnp.float32
+        )
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(b, l, d_model)), jnp.float32)
+        variables = unbox(attn.init(jax.random.PRNGKey(0), x))
+        monkeypatch.delenv("MMTPU_ENC_ATTN_BLF_INTERPRET", raising=False)
+        base = attn.apply(variables, x)
+        monkeypatch.setenv("MMTPU_ENC_ATTN_BLF_INTERPRET", "1")
+        got = attn.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=2e-5
+        )
+
+    def test_blf_path_param_tree_identical(self, monkeypatch):
+        from multimodal_embeddings_tpu.models.transformer import Attention
+
+        b, l, d_model, heads = 1, 256, 128, 4
+        attn = Attention(
+            num_heads=heads, head_dim=d_model // heads, dtype=jnp.float32
+        )
+        x = jnp.zeros((b, l, d_model), jnp.float32)
+        monkeypatch.delenv("MMTPU_ENC_ATTN_BLF_INTERPRET", raising=False)
+        base = attn.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("MMTPU_ENC_ATTN_BLF_INTERPRET", "1")
+        got = attn.init(jax.random.PRNGKey(0), x)
+        bleaves = jax.tree_util.tree_flatten_with_path(base)[0]
+        gleaves = jax.tree_util.tree_flatten_with_path(got)[0]
+        assert [p for p, _ in bleaves] == [p for p, _ in gleaves]
+        for (_, a), (_, c) in zip(bleaves, gleaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 class TestProjBhld:
     """Proj-to-BHLD path: kernel bhld_inputs + the Attention module's
     MMTPU_ENC_ATTN_PROJ opt-in (chain r4-06 probe winner at ViT shape)."""

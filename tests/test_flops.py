@@ -84,6 +84,106 @@ class TestAnalyticFlops:
             t_analytic, t_measured,
         )
 
+    def test_jaxpr_counter_matches_xla_on_tiny_embed(self, tiny_model):
+        """The shape-walking counter (fn_matmul_conv_flops) must agree
+        with XLA cost_analysis on a Pallas-free forward — the validation
+        backing the headline MFU line (r4 verdict #5)."""
+        from multimodal_embeddings_tpu.utils.flops import (
+            fn_matmul_conv_flops,
+        )
+
+        cfg, model, variables, ids, mask, imgs = tiny_model
+        measured = _xla_flops(
+            lambda v, i, m, im: model.apply(v, i, m, im),
+            variables, ids, mask, imgs,
+        )
+        sd = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
+        )
+        counted = fn_matmul_conv_flops(
+            lambda v, i, m, im: model.apply(v, i, m, im),
+            sd,
+            jax.ShapeDtypeStruct(ids.shape, ids.dtype),
+            jax.ShapeDtypeStruct(mask.shape, mask.dtype),
+            jax.ShapeDtypeStruct(imgs.shape, imgs.dtype),
+        )
+        # the counter sees exactly the dot/conv shapes XLA compiles;
+        # XLA's figure adds elementwise work and may fold/fuse — a tight
+        # band, not equality
+        assert 0.8 * measured <= counted <= 1.1 * measured, (
+            counted, measured,
+        )
+
+    def test_jaxpr_counter_exact_primitives(self):
+        """Hand-checkable exactness: matmul, grouped conv, scan, cond."""
+        from multimodal_embeddings_tpu.utils.flops import (
+            fn_matmul_conv_flops,
+        )
+
+        f = fn_matmul_conv_flops(
+            lambda a, b: a @ b,
+            jax.ShapeDtypeStruct((4, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, 16), jnp.float32),
+        )
+        assert f == 2 * 4 * 8 * 16
+        # depthwise conv: feature_group_count = C, per-group in-ch = 1
+        w = jax.ShapeDtypeStruct((3, 3, 1, 6), jnp.float32)
+        x = jax.ShapeDtypeStruct((1, 8, 8, 6), jnp.float32)
+        f = fn_matmul_conv_flops(
+            lambda x, w: jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=6,
+            ),
+            x, w,
+        )
+        assert f == 2 * (1 * 8 * 8 * 6) * 1 * 9
+        # scan multiplies by length; cond takes the max branch
+        def scanned(xs):
+            def body(c, x):
+                return c, x @ jnp.ones((8, 8))
+            return jax.lax.scan(body, 0.0, xs)[1]
+
+        f = fn_matmul_conv_flops(
+            scanned, jax.ShapeDtypeStruct((5, 4, 8), jnp.float32)
+        )
+        assert f == 5 * 2 * 4 * 8 * 8
+
+        def branchy(x):
+            return jax.lax.cond(
+                x.sum() > 0,
+                lambda x: x @ jnp.ones((8, 8)),
+                lambda x: x,
+                x,
+            )
+
+        f = fn_matmul_conv_flops(
+            branchy, jax.ShapeDtypeStruct((4, 8), jnp.float32)
+        )
+        assert f == 2 * 4 * 8 * 8
+
+    def test_headline_counter_pallas_visibility(self):
+        """The counter must see the SAME flops whether attention runs as
+        plain dot_generals or inside the Pallas lane-folded kernel (grid
+        recursion) — the exact blindness cost_analysis has."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+        from multimodal_embeddings_tpu.utils.flops import (
+            fn_matmul_conv_flops,
+        )
+
+        b, l, h, d = 2, 64, 4, 32
+        q = jax.ShapeDtypeStruct((b, l, h * d), jnp.float32)
+
+        def pallas_fn(q, k, v):
+            return encoder_attention_blf(
+                q, k, v, heads=h, heads_per_block=1
+            )
+
+        counted = fn_matmul_conv_flops(pallas_fn, q, q, q)
+        assert counted == 2 * 2 * b * h * l * l * d
+
     def test_serving_scale_sanity(self):
         """11B per-crop count lands at the known scale: ~2·N_text·M for
         the text stack (M=512 prompt tokens, ~9.8B text-stack params →
