@@ -87,6 +87,8 @@ def _make_detect_crop(
     edge_filter: bool = True,
     candidate_cap: int = 4,
     resize_dtype=jnp.bfloat16,
+    combine_iou: float = 0.5,
+    return_candidates: bool = False,
 ):
     """Shared traced section: page → views → batched detect → page-coord
     NMS → top-K boxes → on-device region crops. Returned fn is meant to be
@@ -222,12 +224,17 @@ def _make_detect_crop(
         cand_scores, cand_idx = jax.lax.top_k(flat_scores, n_cand)
         cand_boxes = page_boxes[cand_idx]
         cand_classes = flat_classes[cand_idx]
+        if return_candidates:
+            # knife-edge diagnostic tap (scripts/knife_edge_probe.py): the
+            # pre-combine candidate set, so the f64 host NMS can re-merge
+            # the SAME population the device NMS sees
+            return cand_boxes, cand_scores, cand_classes
         keep, order = nms_padded(
             cand_boxes,
             cand_scores,
             cand_classes,
             cand_scores > 0,
-            iou_threshold=0.5,
+            iou_threshold=combine_iou,
             class_aware=True,
         )
         kept_scores = jnp.where(keep, cand_scores[order], -1.0)
@@ -263,6 +270,8 @@ def build_fused_detect_fn(
     closure_weights: bool = False,
     candidate_cap: int = 4,
     resize_dtype=jnp.bfloat16,
+    combine_iou: float = 0.5,
+    return_candidates: bool = False,
 ):
     """Jitted page → (boxes, scores, classes, valid, crops) WITHOUT the
     embedding forward: the two-program serving split for embedders whose
@@ -277,7 +286,8 @@ def build_fused_detect_fn(
     detect_and_crop = _make_detect_crop(
         detector, page_hw, num_regions, emb_size, letterbox=letterbox,
         edge_filter=edge_filter, candidate_cap=candidate_cap,
-        resize_dtype=resize_dtype,
+        resize_dtype=resize_dtype, combine_iou=combine_iou,
+        return_candidates=return_candidates,
     )
     det_vars = _device_vars(detector.variables)
     if closure_weights:
