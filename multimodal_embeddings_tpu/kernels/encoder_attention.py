@@ -261,7 +261,12 @@ def _blf_pick_hpb(l, h, d, dv, dtype):
     fitting = [
         hpb
         for hpb in legal
-        if 2 * l * hpb * (2 * d + 2 * dv) * elem + inter <= 14e6
+        # 12MB budget (not the scoped ~16MB): leaves double-buffer slack
+        # and keeps >1 head block on the grid at the ViT shape (hpb=6 of
+        # 12 → 2 grid steps/row to overlap DMA with compute; the full-H
+        # block would sit at 13.3MB, the envelope where the r4-02b
+        # whole-H BHLD form OOM'd)
+        if 2 * l * hpb * (2 * d + 2 * dv) * elem + inter <= 12e6
     ]
     return max(fitting) if fitting else None
 

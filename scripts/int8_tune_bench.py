@@ -56,6 +56,15 @@ SHAPES = {
     "vis_qkv_3216x1280x3840": (3216, 1280, 3840),
     "vis_mlp_3216x1280x5120": (3216, 1280, 5120),
     "vis_mlpdown_3216x5120x1280": (3216, 5120, 1280),
+    # decoupled text stack at text_chunk 8/16 (M = 32·chunk): the r4-01
+    # text_chunk A/B ran these OFF-TABLE (pick_blocks only covered M≈32
+    # and M≈3.3k) — verdict r4 #2 wants the sweep before the re-A/B
+    "text_qo_256x4096x4096": (256, 4096, 4096),
+    "text_gateup_256x4096x14336": (256, 4096, 14336),
+    "text_down_256x14336x4096": (256, 14336, 4096),
+    "text_qo_512x4096x4096": (512, 4096, 4096),
+    "text_gateup_512x4096x14336": (512, 4096, 14336),
+    "text_down_512x14336x4096": (512, 14336, 4096),
 }
 
 # (block_m, block_n, block_k); block_m/k are clamped inside int8_matmul
@@ -72,6 +81,16 @@ CONFIGS = [
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--only", default=None,
+        help="substring filter over shape labels (e.g. '256x' to sweep "
+        "only the text_chunk-8 class); results MERGE into the existing "
+        "int8_tune_results.json",
+    )
+    args = parser.parse_args()
     _setup()
     import jax
     import jax.numpy as jnp
@@ -86,6 +105,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
     results = {}
     for label, (m, k, n) in SHAPES.items():
+        if args.only and args.only not in label:
+            continue
         x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16)
         qs = jnp.asarray(
             rng.integers(-127, 128, size=(K_CALLS, k, n)), jnp.int8
@@ -133,8 +154,13 @@ def main() -> None:
         results[label] = shape_res
 
     out_path = os.path.join(os.path.dirname(__file__), "int8_tune_results.json")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(results))
 
 
