@@ -249,25 +249,28 @@ def _blf_pick_hpb(l, h, d, dv, dtype):
     lane tile — hpb·D (and hpb·Dv) ≡ 0 (mod 128) — or the full array dim
     (hpb == H). The sublane axis holds L (full dim, always legal), so the
     H=12 8-divisibility wall that killed the 4-D BLHD specs never
-    applies. Whole-row scores only (no row chunking): callers gate on L."""
+    applies. Whole-row scores only (no row chunking): callers gate on L.
+
+    VMEM model (MEASURED, chain r5-02): Mosaic does NOT reuse the f32
+    score buffer across the Python-unrolled head bodies — the ViT shape
+    at hpb=6 allocated 19.14M scoped (limit 16M): ≈ hpb·4·L² score bytes
+    + double-buffered in/out blocks + one shared exp buffer. The PSA
+    shape at hpb=2 (≈13.6M by this model) compiled and ran 2.24 ms vs
+    the 2.80 ms BHLD incumbent."""
     elem = jnp.dtype(dtype).itemsize
-    ib = 6 if dtype == jnp.bfloat16 else 8
-    inter = ib * l * l
     legal = {
         c
         for c in range(1, h + 1)
         if h % c == 0 and ((c * d) % 128 == 0 and (c * dv) % 128 == 0 or c == h)
     }
-    fitting = [
-        hpb
-        for hpb in legal
-        # 12MB budget (not the scoped ~16MB): leaves double-buffer slack
-        # and keeps >1 head block on the grid at the ViT shape (hpb=6 of
-        # 12 → 2 grid steps/row to overlap DMA with compute; the full-H
-        # block would sit at 13.3MB, the envelope where the r4-02b
-        # whole-H BHLD form OOM'd)
-        if 2 * l * hpb * (2 * d + 2 * dv) * elem + inter <= 12e6
-    ]
+
+    def scoped_bytes(hpb):
+        blocks = 2 * 2 * l * hpb * (d + dv) * elem  # q,k,v,o double-buffered
+        scores = hpb * 4 * l * l  # f32, one live buffer PER unrolled head
+        exp = (2 if dtype == jnp.bfloat16 else 4) * l * l  # shared
+        return blocks + scores + exp
+
+    fitting = [hpb for hpb in legal if scoped_bytes(hpb) <= 14e6]
     return max(fitting) if fitting else None
 
 
@@ -332,6 +335,138 @@ def encoder_attention_blf(
         out_shape=jax.ShapeDtypeStruct((b, l, heads * dv), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _enc_attn_blf_packed_kernel(
+    qkv_ref,  # (1, L, hpb*stride) — per head [q(kd) | k(kd) | v(hd)]
+    o_ref,  # (1, L, hpb*hd)
+    *,
+    sm_scale: float,
+    heads: int,
+    kd: int,
+    hd: int,
+):
+    """Packed-slab variant of the lane-folded kernel for attention whose
+    q/k/v arrive interleaved per head from ONE projection — the YOLOv10
+    PSA layout (ultralytics ``Attention``: channels per head are
+    [q|k|v], ``models/layers.py::PSAAttention``). No split, no
+    transpose: the per-head operands are static lane slices of the one
+    conv output."""
+    stride = 2 * kd + hd
+    mxu_dtype = qkv_ref.dtype if qkv_ref.dtype == jnp.bfloat16 else jnp.float32
+    for h in range(heads):
+        base = h * stride
+        q = qkv_ref[0, :, base : base + kd].astype(mxu_dtype)
+        k = qkv_ref[0, :, base + kd : base + 2 * kd].astype(mxu_dtype)
+        v = qkv_ref[0, :, base + 2 * kd : base + stride].astype(mxu_dtype)
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        o = jnp.dot(e.astype(mxu_dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd : (h + 1) * hd] = (
+            o / jnp.maximum(denom, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def _blf_packed_pick_hpb(l, heads, kd, hd, dtype):
+    """Head block for the packed layout under the measured VMEM model
+    (see ``_blf_pick_hpb``): per-unrolled-head f32 scores are NOT reused."""
+    elem = jnp.dtype(dtype).itemsize
+    stride = 2 * kd + hd
+    legal = {
+        c
+        for c in range(1, heads + 1)
+        if heads % c == 0
+        and ((c * stride) % 128 == 0 and (c * hd) % 128 == 0 or c == heads)
+    }
+
+    def scoped_bytes(hpb):
+        blocks = 2 * l * hpb * (stride + hd) * elem  # in+out, double-buffered
+        scores = hpb * 4 * l * l
+        exp = (2 if dtype == jnp.bfloat16 else 4) * l * l
+        return blocks + scores + exp
+
+    fitting = [hpb for hpb in legal if scoped_bytes(hpb) <= 14e6]
+    return max(fitting) if fitting else None
+
+
+def blf_packed_supported(l: int, heads: int, kd: int, hd: int, dtype) -> bool:
+    return (
+        l % 16 == 0
+        and _blf_packed_pick_hpb(l, heads, kd, hd, dtype) is not None
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "key_dim", "head_dim", "sm_scale", "heads_per_block",
+        "interpret",
+    ),
+)
+def encoder_attention_blf_packed(
+    qkv: jnp.ndarray,  # (B, L, heads*(2*key_dim+head_dim)), per-head [q|k|v]
+    heads: int,
+    key_dim: int,
+    head_dim: int,
+    sm_scale: Optional[float] = None,
+    heads_per_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-row attention straight off a packed per-head [q|k|v] slab.
+
+    Returns (B, L, heads·head_dim) in qkv's dtype. The PSA probe result
+    that motivated this: the split-operand lane-folded kernel ran the
+    (30, 1024, 4, 64→128) detector shape at 2.24 ms vs the transposing
+    whole-row kernel's 2.80 ms (chain r5-02)."""
+    b, l, f = qkv.shape
+    stride = 2 * key_dim + head_dim
+    assert f == heads * stride, (f, heads, key_dim, head_dim)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(key_dim)
+    if heads_per_block is None:
+        heads_per_block = _blf_packed_pick_hpb(
+            l, heads, key_dim, head_dim, qkv.dtype
+        )
+        if heads_per_block is None:
+            raise ValueError(
+                f"no legal packed head block at {qkv.shape} — guard with "
+                "blf_packed_supported()"
+            )
+    assert heads % heads_per_block == 0, (heads, heads_per_block)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _enc_attn_blf_packed_kernel,
+            sm_scale=sm_scale,
+            heads=heads_per_block,
+            kd=key_dim,
+            hd=head_dim,
+        ),
+        grid=(b, heads // heads_per_block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, l, heads_per_block * stride),
+                lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, l, heads_per_block * head_dim),
+            lambda i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, heads * head_dim), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out
 
 
 @functools.partial(

@@ -166,9 +166,16 @@ def main():
         "--variant",
         required=True,
         choices=["xla", "bhld", "blhd_static", "blhd_grid", "proj_bhld",
-                 "blf"],
+                 "blf", "blf_packed"],
     )
     parser.add_argument("--shape", default="vit", choices=["vit", "psa"])
+    parser.add_argument(
+        "--hpb", type=int, default=None,
+        help="blf head-block override: isolates whether the remote-compiler "
+        "crash at the picker's hpb is VMEM pressure from the unrolled "
+        "per-head score/exp buffers (hpb bodies x ~3.7MB if Mosaic "
+        "doesn't reuse across the unroll)",
+    )
     args = parser.parse_args()
     _setup()
 
@@ -207,7 +214,30 @@ def main():
 
     variant = args.variant
 
-    if variant == "blf":
+    if variant == "blf_packed":
+        # per-head [q|k|v] packed slab straight off ONE projection (the
+        # PSA conv layout, models/layers.py) — no split, no transpose
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf_packed,
+        )
+
+        stride = 2 * d + dv
+        wqkv = jnp.asarray(
+            rng.normal(size=(c, h * stride)).astype(np.float32)
+            / math.sqrt(c),
+            jnp.bfloat16,
+        )
+
+        @jax.jit
+        def block(x, wq, wk, wv, wo):
+            qkv = x @ wqkv
+            o = encoder_attention_blf_packed(
+                qkv, heads=h, key_dim=d, head_dim=dv, sm_scale=sm_scale,
+                heads_per_block=args.hpb,
+            )
+            return o @ wo.reshape(h * dv, c)
+
+    elif variant == "blf":
         # lane-folded zero-transpose form (round 5): plain GEMMs to
         # (B, L, H·D), per-head static LANE slices in-kernel — the one
         # true-BLHD route the Mosaic sublane 8-divisibility wall (H=12)
@@ -221,7 +251,10 @@ def main():
             q = x @ wq.reshape(c, h * d)
             k = x @ wk.reshape(c, h * d)
             v = x @ wv.reshape(c, h * dv)
-            o = encoder_attention_blf(q, k, v, heads=h, sm_scale=sm_scale)
+            o = encoder_attention_blf(
+                q, k, v, heads=h, sm_scale=sm_scale,
+                heads_per_block=args.hpb,
+            )
             return o @ wo.reshape(h * dv, c)
 
     elif variant == "proj_bhld":

@@ -149,6 +149,14 @@ def main() -> int:
         "batch can exceed what one whole-batch prefill's attention-logits "
         "transient fits (0 = whole-batch prefill)",
     )
+    parser.add_argument(
+        "--early_stop", action="store_true",
+        help="time the lax.while_loop early-stop decode (the CLI default "
+        "path) instead of the fixed scan: with synthetic weights EOS "
+        "never fires, so this measures the while_loop's WORST-CASE "
+        "overhead vs scan; the ragged-page upside is then "
+        "(max_new - longest_row) x the measured per-step cost",
+    )
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--page", default=None)
     parser.add_argument("--iters", type=int, default=2)
@@ -246,7 +254,7 @@ def main() -> int:
     # is the honest full-1024-token figure independent of what the
     # synthetic weights happen to emit
     prefill, decode = build_generate_fns(
-        model, prompt_len, max_new, early_stop=False,
+        model, prompt_len, max_new, early_stop=args.early_stop,
         prefill_chunk=args.prefill_chunk,
     )
 
@@ -288,8 +296,9 @@ def main() -> int:
         "metric": (
             f"Qwen2.5-VL-{args.size} page parse (batch {batch}, prompt "
             f"{prompt_len} tokens incl. {n_tokens} image tokens @ "
-            f"{input_w}x{input_h}, {max_new} new tokens, greedy lax.scan "
-            "decode)"
+            f"{input_w}x{input_h}, {max_new} new tokens, greedy "
+            + ("lax.while_loop early-stop decode, no-exit worst case)"
+               if args.early_stop else "lax.scan decode)")
         ),
         "size": args.size,
         "batch": batch,
@@ -315,6 +324,7 @@ def main() -> int:
             f"{args.size}{'_native' if args.native else ''}"
             f"{f'_b{batch}' if batch > 1 else ''}"
             f"{f'_pc{args.prefill_chunk}' if args.prefill_chunk else ''}"
+            f"{'_es' if args.early_stop else ''}"
         )
         try:
             with open(path) as f:

@@ -295,10 +295,20 @@ class TestBlfLaneFolded:
         hpb = _blf_pick_hpb(784, 12, 64, 64, jnp.bfloat16)
         assert hpb is not None and 12 % hpb == 0
         assert (hpb * 64) % 128 == 0 or hpb == 12
-        assert hpb < 12  # >1 grid step per row: DMA/compute overlap
-        inter = 6 * 784 * 784
-        assert 2 * 784 * hpb * (4 * 64) * 2 + inter <= 12e6
+        # measured VMEM model (chain r5-02): per-unrolled-head f32 score
+        # buffers are NOT reused, so blocks + hpb·4L² + exp must fit
+        scoped = (
+            2 * 2 * 784 * hpb * 128 * 2 + hpb * 4 * 784 * 784 + 2 * 784 * 784
+        )
+        assert scoped <= 14e6
+        # the hpb=6 config that OOM'd on chip (19.14M scoped) is refused
+        assert (
+            2 * 2 * 784 * 6 * 128 * 2 + 6 * 4 * 784 * 784 + 2 * 784 * 784
+            > 14e6
+        )
         assert blf_supported(784, 12, 64, 64, jnp.bfloat16)
+        # the PSA shape that compiled at hpb=2 stays supported
+        assert _blf_pick_hpb(1024, 4, 64, 128, jnp.bfloat16) == 2
         # whole-row only: a shape whose scores can't fit must be refused
         assert not blf_supported(2048, 12, 64, 64, jnp.bfloat16)
 
@@ -341,6 +351,75 @@ class TestBlfLaneFolded:
         assert [p for p, _ in bleaves] == [p for p, _ in gleaves]
         for (_, a), (_, c) in zip(bleaves, gleaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestBlfPacked:
+    """Packed per-head [q|k|v] slab kernel (the PSA layout) — equality vs
+    the reference attention and the PSAAttention module dispatch."""
+
+    def _packed(self, b=2, l=64, heads=4, kd=16, hd=32, seed=9):
+        rng = np.random.default_rng(seed)
+        stride = 2 * kd + hd
+        qkv = jnp.asarray(
+            rng.normal(size=(b, l, heads, stride)).astype(np.float32)
+        )
+        return qkv, qkv[..., :kd], qkv[..., kd : 2 * kd], qkv[..., 2 * kd :]
+
+    @pytest.mark.parametrize("hpb", [None, 1, 2])
+    def test_matches_reference(self, hpb):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf_packed,
+        )
+
+        qkv, q, k, v = self._packed()
+        b, l, heads, stride = qkv.shape
+        kd, hd = 16, 32
+        got = encoder_attention_blf_packed(
+            qkv.reshape(b, l, heads * stride),
+            heads=heads, key_dim=kd, head_dim=hd,
+            heads_per_block=hpb, interpret=True,
+        )
+        want = ref_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(want).reshape(b, l, heads * hd),
+            atol=1e-5,
+        )
+
+    def test_psa_module_blf_path_matches_default(self, monkeypatch):
+        from flax.linen import unbox
+
+        from multimodal_embeddings_tpu.models.layers import PSAAttention
+
+        b, hh, ww, c = 2, 16, 16, 128  # l = 256 (>= min len irrelevant here)
+        attn = PSAAttention(channels=c, num_heads=2, dtype=jnp.float32)
+        rng = np.random.default_rng(17)
+        x = jnp.asarray(rng.normal(size=(b, hh, ww, c)), jnp.float32)
+        variables = unbox(attn.init(jax.random.PRNGKey(0), x))
+        monkeypatch.delenv("MMTPU_PSA_BLF_INTERPRET", raising=False)
+        base = attn.apply(variables, x)
+        monkeypatch.setenv("MMTPU_PSA_BLF_INTERPRET", "1")
+        got = attn.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=2e-5
+        )
+
+    def test_production_psa_shape_supported(self):
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            _blf_packed_pick_hpb,
+            blf_packed_supported,
+        )
+
+        # detector PSA at the production config: 1024 tokens, 4 heads,
+        # kd 64, hd 128 (stride 256 — every slice offset 64-aligned)
+        assert blf_packed_supported(1024, 4, 64, 128, jnp.bfloat16)
+        hpb = _blf_packed_pick_hpb(1024, 4, 64, 128, jnp.bfloat16)
+        scoped = (
+            2 * 1024 * hpb * (256 + 128) * 2
+            + hpb * 4 * 1024 * 1024
+            + 2 * 1024 * 1024
+        )
+        assert scoped <= 14e6
 
 
 class TestProjBhld:
