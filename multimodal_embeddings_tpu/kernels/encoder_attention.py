@@ -242,6 +242,42 @@ def _enc_attn_blf_kernel(
         ).astype(o_ref.dtype)
 
 
+def _enc_attn_blf_scratch_kernel(
+    q_ref, k_ref, v_ref, o_ref, s_ref, *, sm_scale, heads, d, dv
+):
+    """Lane-folded kernel with ONE shared (L, L) f32 score scratch reused
+    in place across the head unroll. The plain unrolled kernel keeps a
+    live f32 score value PER head body (measured: 19.14M scoped at the
+    ViT shape, hpb=6 — chain r5-02), capping hpb at 2; routing scores
+    through an explicit scratch ref bounds the score footprint at one
+    buffer regardless of hpb. Math identical: exp overwrites the scores
+    in place (both f32), the denominator sums in f32, and the PV dot
+    reads the scratch cast to the MXU dtype — same ops as the unrolled
+    form."""
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    for h in range(heads):
+        q = q_ref[0, :, h * d : (h + 1) * d].astype(mxu_dtype)
+        k = k_ref[0, :, h * d : (h + 1) * d].astype(mxu_dtype)
+        v = v_ref[0, :, h * dv : (h + 1) * dv].astype(mxu_dtype)
+        s_ref[...] = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )
+        m = jnp.max(s_ref[...], axis=1, keepdims=True)
+        s_ref[...] = jnp.exp(s_ref[...] - m)
+        denom = jnp.sum(s_ref[...], axis=1, keepdims=True)
+        o = jnp.dot(
+            s_ref[...].astype(mxu_dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * dv : (h + 1) * dv] = (
+            o / jnp.maximum(denom, 1e-30)
+        ).astype(o_ref.dtype)
+
+
 def _blf_pick_hpb(l, h, d, dv, dtype):
     """Largest head block whose lane width is legal AND fits VMEM, or None.
 
@@ -281,7 +317,9 @@ def blf_supported(l: int, h: int, d: int, dv: int, dtype) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "sm_scale", "heads_per_block", "interpret"),
+    static_argnames=(
+        "heads", "sm_scale", "heads_per_block", "interpret", "scratch"
+    ),
 )
 def encoder_attention_blf(
     q: jnp.ndarray,  # (B, L, H*D) — head-major lane layout
@@ -291,6 +329,7 @@ def encoder_attention_blf(
     sm_scale: Optional[float] = None,
     heads_per_block: Optional[int] = None,
     interpret: bool = False,
+    scratch: bool = False,
 ) -> jnp.ndarray:
     """Zero-transpose whole-row attention over lane-folded head slabs.
 
@@ -321,9 +360,10 @@ def encoder_attention_blf(
             memory_space=pltpu.VMEM,
         )
 
+    kern = _enc_attn_blf_scratch_kernel if scratch else _enc_attn_blf_kernel
     return pl.pallas_call(
         functools.partial(
-            _enc_attn_blf_kernel,
+            kern,
             sm_scale=sm_scale,
             heads=heads_per_block,
             d=d,
@@ -333,6 +373,7 @@ def encoder_attention_blf(
         in_specs=[spec(d), spec(d), spec(dv)],
         out_specs=spec(dv),
         out_shape=jax.ShapeDtypeStruct((b, l, heads * dv), q.dtype),
+        scratch_shapes=[pltpu.VMEM((l, l), jnp.float32)] if scratch else [],
         interpret=interpret,
     )(q, k, v)
 

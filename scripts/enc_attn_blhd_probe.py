@@ -170,6 +170,12 @@ def main():
     )
     parser.add_argument("--shape", default="vit", choices=["vit", "psa"])
     parser.add_argument(
+        "--scratch", action="store_true",
+        help="blf only: route scores through ONE shared (L,L) f32 scratch "
+        "ref instead of per-unrolled-head temps — the VMEM fix that "
+        "should admit hpb 6/12 at the ViT shape",
+    )
+    parser.add_argument(
         "--hpb", type=int, default=None,
         help="blf head-block override: isolates whether the remote-compiler "
         "crash at the picker's hpb is VMEM pressure from the unrolled "
@@ -253,7 +259,7 @@ def main():
             v = x @ wv.reshape(c, h * dv)
             o = encoder_attention_blf(
                 q, k, v, heads=h, sm_scale=sm_scale,
-                heads_per_block=args.hpb,
+                heads_per_block=args.hpb, scratch=args.scratch,
             )
             return o @ wo.reshape(h * dv, c)
 

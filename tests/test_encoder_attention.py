@@ -263,6 +263,29 @@ class TestBlfLaneFolded:
             np.asarray(got), np.asarray(base.reshape(b, l, h * d)), atol=1e-6
         )
 
+    @pytest.mark.parametrize("hpb", [1, 2, 4])
+    def test_scratch_kernel_matches_unrolled(self, hpb):
+        """The shared-score-scratch form is numerically identical to the
+        per-head-temps form (exp overwrites f32 scores in place; denom
+        stays f32) — the VMEM fix that unlocks hpb>2 at the ViT shape."""
+        from multimodal_embeddings_tpu.kernels.encoder_attention import (
+            encoder_attention_blf,
+        )
+
+        q, k, v = self._qkv(seed=8)
+        b, l, h, d = q.shape
+        qf = q.reshape(b, l, h * d)
+        kf = k.reshape(b, l, h * d)
+        vf = v.reshape(b, l, h * d)
+        base = encoder_attention_blf(
+            qf, kf, vf, heads=h, heads_per_block=hpb, interpret=True
+        )
+        got = encoder_attention_blf(
+            qf, kf, vf, heads=h, heads_per_block=hpb, interpret=True,
+            scratch=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
     def test_dv_wider_than_dk(self):
         from multimodal_embeddings_tpu.kernels.encoder_attention import (
             encoder_attention_blf,
