@@ -184,8 +184,11 @@ def pick_blocks(m: int, k: int, n: int) -> tuple[int, int, int]:
     gate-up 124 GB/s weight streaming).
 
     Legacy blocks for shapes outside the measured classes (tiny test
-    configs, odd N) — the sweep covered the 11B text (M≈32) and vision
-    (M≈3.3k) families."""
+    configs, odd N) — the chain-19 sweep covered the 11B text (M≈32)
+    and vision (M≈3.3k) families; the round-5 sweep added the
+    decoupled-text M=256/512 classes (text_chunk 8/16 ran these
+    OFF-TABLE in the chain r4-01 A/B — the fall-through blocks measure
+    5-27% behind the per-class winners below)."""
     if n % 128 or k < 512:
         return 128, 128, 512
     if m <= 64:  # skinny-M decoder/prompt stack: stream weights wide
@@ -193,6 +196,14 @@ def pick_blocks(m: int, k: int, n: int) -> tuple[int, int, int]:
         return 128, bn, (k if k <= 4096 else _largest_divisor_block(k))
     if n <= 1280 and k >= 4096:  # vision MLP-down class
         return 128, n, _largest_divisor_block(k, cap=1024)
+    if m <= 256:  # mid-M text class (text_chunk 8 → M=256)
+        if max(k, n) >= 8192:  # gate-up / down projections
+            return 128, min(2048, n), _largest_divisor_block(k, cap=1024)
+        return 256, min(512, n), _largest_divisor_block(k, cap=1024)
+    if m <= 512:  # mid-M text class (text_chunk 16 → M=512)
+        if max(k, n) >= 8192:
+            return 512, min(512, n), _largest_divisor_block(k, cap=1024)
+        return 128, min(1024, n), _largest_divisor_block(k, cap=2048)
     bn = min(512, n)
     return 128, bn, (k if k <= 2048 else _largest_divisor_block(k))
 

@@ -249,3 +249,24 @@ def test_stochastic_rounding_higher_rank():
     err = np.abs(deq - np.asarray(w, np.float64))
     bound = np.asarray(qt.scale, np.float64) + 1e-6  # floor+u: ≤ 1 level
     assert (err <= bound).all()
+
+
+def test_pick_blocks_mid_m_classes_match_measured_winners():
+    """The round-5 tune sweep (scripts/int8_tune_results.json,
+    text_{qo,gateup,down}_{256,512}x...) measured the decoupled-text
+    M=256/512 matmul classes the chain r4-01 text_chunk A/B ran
+    off-table; lock the picker to the per-class winners (or a config
+    measured within ~6% of the winner across the class)."""
+    from multimodal_embeddings_tpu.kernels.quantization import pick_blocks
+
+    # text_chunk 8 → M=256 rows through the 11B text stack
+    assert pick_blocks(256, 4096, 4096) == (256, 512, 1024)       # q/o proj
+    assert pick_blocks(256, 4096, 14336) == (128, 2048, 1024)     # gate-up
+    assert pick_blocks(256, 14336, 4096) == (128, 2048, 1024)     # down
+    # text_chunk 16 → M=512
+    assert pick_blocks(512, 4096, 4096) == (128, 1024, 2048)      # q/o proj
+    assert pick_blocks(512, 4096, 14336) == (512, 512, 1024)      # gate-up
+    assert pick_blocks(512, 14336, 4096) == (512, 512, 1024)      # down
+    # pre-existing classes are untouched
+    assert pick_blocks(32, 4096, 14336) == (128, 512, 4096)       # skinny text
+    assert pick_blocks(3328, 5120, 1280) == (128, 1280, 1024)     # vision down
