@@ -686,7 +686,18 @@ def build_generate_fns(
     near-flat: 10.3/11.2/12.9 ms at b8/16/32, r4-11) from the PREFILL
     batch, whose b×heads×L×L attention logits transient is what OOMs
     first — so bulk decode can run at batches prefill alone could
-    never fit."""
+    never fit.
+
+    The decode fns take an optional trailing ``force_steps`` argument —
+    an (B,) int32 array; row i is forced to emit EOS at output position
+    ``force_steps[i]`` and after (omit it for real decoding). This is
+    the MEASUREMENT knob for the early-stop upside: synthetic random
+    weights never emit a real EOS, so without injection the while_loop
+    path can only ever measure its overhead, never its exit. Token
+    output is identical between the scan and while_loop variants for
+    the same ``force_steps`` (EOS-padded); only wall-clock differs —
+    while_loop exits at ``max(force_steps)``, scan always runs
+    ``max_new_tokens`` steps."""
     eos = model.config.eos_id
     # tight static cache: prompt + generation, rounded to the lane width —
     # NOT max_len (every decode step reads the whole padded cache; at
@@ -730,7 +741,7 @@ def build_generate_fns(
     else:
         prefill = _prefill
 
-    def _advance(variables, token, caches, done, delta, t):
+    def _advance(variables, token, caches, done, delta, t, force_steps):
         """One greedy step: emit ``token``'s successor, EOS-pin done rows."""
         logits, caches = model.apply(
             variables,
@@ -741,17 +752,25 @@ def build_generate_fns(
             method=model.decode_step,
         )
         next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if force_steps is not None:
+            # next_token lands at output position t+1
+            next_token = jnp.where(t + 1 >= force_steps, eos, next_token)
         next_token = jnp.where(done, eos, next_token)
         return next_token, caches, done | (next_token == eos)
 
-    @jax.jit
-    def decode(variables, last_logits, caches, delta):
+    def _first(last_logits, force_steps):
         first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        if force_steps is not None:
+            first_token = jnp.where(force_steps <= 0, eos, first_token)
+        return first_token
+
+    def decode(variables, last_logits, caches, delta, force_steps=None):
+        first_token = _first(last_logits, force_steps)
 
         def step(carry, t):
             token, caches, done = carry
             next_token, caches, done = _advance(
-                variables, token, caches, done, delta, t
+                variables, token, caches, done, delta, t, force_steps
             )
             return (next_token, caches, done), token
 
@@ -761,9 +780,8 @@ def build_generate_fns(
         )
         return tokens.transpose(1, 0)  # (B, T)
 
-    @jax.jit
-    def decode_early(variables, last_logits, caches, delta):
-        first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    def decode_early(variables, last_logits, caches, delta, force_steps=None):
+        first_token = _first(last_logits, force_steps)
         b = first_token.shape[0]
         out0 = jnp.full((b, max_new_tokens), eos, jnp.int32)
 
@@ -777,7 +795,7 @@ def build_generate_fns(
                 out, token[:, None], t, axis=1
             )
             next_token, caches, done = _advance(
-                variables, token, caches, done, delta, t
+                variables, token, caches, done, delta, t, force_steps
             )
             return t + 1, next_token, caches, done, out
 
@@ -785,7 +803,7 @@ def build_generate_fns(
         *_, out = jax.lax.while_loop(cond, body, init)
         return out
 
-    return prefill, (decode_early if early_stop else decode)
+    return prefill, jax.jit(decode_early if early_stop else decode)
 
 
 def greedy_generate(

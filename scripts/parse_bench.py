@@ -157,6 +157,16 @@ def main() -> int:
         "overhead vs scan; the ragged-page upside is then "
         "(max_new - longest_row) x the measured per-step cost",
     )
+    parser.add_argument(
+        "--eos_ragged", default=None, metavar="SPEC",
+        help="inject a synthetic ragged EOS distribution (random weights "
+        "never emit a real EOS): per-row forced stop positions, either an "
+        "explicit comma list ('128,256,512,1024') or 'linspace:LO:HI' "
+        "spread across the batch. Run with AND without --early_stop at "
+        "the same SPEC to measure the while_loop's real exit upside "
+        "(token output is identical; the while_loop exits at "
+        "max(force_steps), the scan always runs max_new_tokens steps)",
+    )
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--page", default=None)
     parser.add_argument("--iters", type=int, default=2)
@@ -258,13 +268,33 @@ def main() -> int:
         prefill_chunk=args.prefill_chunk,
     )
 
+    force_steps = None
+    if args.eos_ragged:
+        if args.eos_ragged.startswith("linspace:"):
+            _, lo, hi = args.eos_ragged.split(":")
+            fs = np.linspace(int(lo), int(hi), batch).round().astype(np.int32)
+        else:
+            fs = np.asarray(
+                [int(x) for x in args.eos_ragged.split(",")], np.int32
+            )
+            if fs.shape[0] != batch:
+                raise SystemExit(
+                    f"--eos_ragged gave {fs.shape[0]} stops for batch {batch}"
+                )
+        force_steps = jnp.asarray(np.clip(fs, 1, max_new))
+
+    def run_decode(last_logits, caches, delta):
+        if force_steps is None:
+            return decode(variables, last_logits, caches, delta)
+        return decode(variables, last_logits, caches, delta, force_steps)
+
     # --- compile + warm ---
     t0 = time.perf_counter()
     last_logits, caches, delta = prefill(variables, ids, arr)
     np.asarray(last_logits[0, :2])  # value fetch = real barrier (CLAUDE.md)
     prefill_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    tokens = decode(variables, last_logits, caches, delta)
+    tokens = run_decode(last_logits, caches, delta)
     np.asarray(tokens[0, :2])
     decode_compile_s = time.perf_counter() - t0
 
@@ -284,20 +314,29 @@ def main() -> int:
             np.asarray(last_logits[0, :2])
             pre_ts.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            tokens = decode(variables, last_logits, caches, delta)
+            tokens = run_decode(last_logits, caches, delta)
             np.asarray(tokens[0, :2])
             dec_ts.append(time.perf_counter() - t0)
 
     prefill_s = min(pre_ts)
     decode_s = min(dec_ts)
-    tok_per_s = batch * max_new / decode_s  # aggregate across the batch
+    if force_steps is not None:
+        # ragged: rows stop at force_steps; only tokens before the stop
+        # are useful output, and the while_loop's wall reflects max(stop)
+        useful = int(np.sum(np.asarray(force_steps)))
+        tok_per_s = useful / decode_s
+    else:
+        useful = batch * max_new
+        tok_per_s = batch * max_new / decode_s  # aggregate across the batch
     page_s = prefill_s + decode_s  # wall time for the whole batch
     result = {
         "metric": (
             f"Qwen2.5-VL-{args.size} page parse (batch {batch}, prompt "
             f"{prompt_len} tokens incl. {n_tokens} image tokens @ "
             f"{input_w}x{input_h}, {max_new} new tokens, greedy "
-            + ("lax.while_loop early-stop decode, no-exit worst case)"
+            + ("lax.while_loop early-stop decode)" if args.early_stop
+               and args.eos_ragged else
+               "lax.while_loop early-stop decode, no-exit worst case)"
                if args.early_stop else "lax.scan decode)")
         ),
         "size": args.size,
@@ -315,6 +354,16 @@ def main() -> int:
         "weights_upload_s": round(upload_s, 1),
         "compile_s": [round(prefill_compile_s, 1), round(decode_compile_s, 1)],
     }
+    if force_steps is not None:
+        fs_np = np.asarray(force_steps)
+        result["eos_ragged"] = {
+            "spec": args.eos_ragged,
+            "force_steps": fs_np.tolist(),
+            "useful_tokens": int(useful),
+            "max_stop": int(fs_np.max()),
+            "decode_wall_ms": round(decode_s * 1e3, 1),
+        }
+        result["metric"] += f" [ragged EOS {args.eos_ragged}]"
     print(json.dumps(result))
 
     if args.record:
@@ -325,6 +374,7 @@ def main() -> int:
             f"{f'_b{batch}' if batch > 1 else ''}"
             f"{f'_pc{args.prefill_chunk}' if args.prefill_chunk else ''}"
             f"{'_es' if args.early_stop else ''}"
+            f"{'_ragged' if args.eos_ragged else ''}"
         )
         try:
             with open(path) as f:

@@ -229,6 +229,39 @@ class TestEndToEndParse:
         np.testing.assert_array_equal(early2, scan2)
         assert (scan2[0] == eos_tok).any()  # EOS actually fired
 
+    def test_ragged_eos_injection_token_equal(self, tiny_qwen):
+        """The bench-only ragged-EOS knob (decode's optional force_steps
+        argument — scripts/parse_bench.py --eos_ragged): row i emits EOS
+        from output position force_steps[i] on, scan and while_loop
+        variants are token-identical, and tokens BEFORE the stop are the
+        unforced decode's tokens."""
+        import jax.numpy as jnp
+
+        from multimodal_embeddings_tpu.models.qwen_vl import (
+            build_generate_fns,
+        )
+
+        model, variables = tiny_qwen
+        eos = model.config.eos_id
+        ids = np.ones((3, 12), np.int32)
+        ids[:, 3:7] = model.config.image_pad_id
+        rng = np.random.default_rng(7)
+        imgs = rng.random((3, 56, 56, 3)).astype(np.float32)
+        prompt = jnp.asarray(ids)
+        force = jnp.asarray(np.int32([2, 5, 8]))
+
+        prefill, scan_dec = build_generate_fns(model, 12, 8, early_stop=False)
+        _, early_dec = build_generate_fns(model, 12, 8, early_stop=True)
+        last, caches, delta = prefill(variables, prompt, jnp.asarray(imgs))
+        base = np.asarray(scan_dec(variables, last, caches, delta))
+        scan_f = np.asarray(scan_dec(variables, last, caches, delta, force))
+        early_f = np.asarray(early_dec(variables, last, caches, delta, force))
+
+        np.testing.assert_array_equal(early_f, scan_f)
+        for i, s in enumerate([2, 5, 8]):
+            assert (scan_f[i, s:] == eos).all()
+            np.testing.assert_array_equal(scan_f[i, :s], base[i, :s])
+
     def test_parse_batch_matches_single(self, tiny_qwen, tmp_path):
         """Batched parsing (the TPU throughput shape: decode is
         weight-streaming bound, so B pages share one weight read per step)
