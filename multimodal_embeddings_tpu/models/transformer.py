@@ -137,13 +137,17 @@ def _enc_attn_blf_mode() -> Optional[str]:
     per-head (L, D) views as static lane slices — no transpose anywhere
     (the 4-D true-BLHD forms all died on Mosaic's sublane 8-divisibility
     at H=12; folding heads onto lanes sidesteps the constraint).
-    OPT-IN via ``MMTPU_ENC_ATTN_BLF=1`` pending the in-model A/B vs the
-    r4-07 proj-to-BHLD default. Returns "tpu"/"interpret"/None."""
+    **DEFAULT ON since the in-model win: headline 6.4375 vs the r4-07
+    proj-BHLD default's 5.9486 pages/sec (+8.2%, chain r5-03 A/B,
+    2026-08-20; standalone probe 3.77 vs 5.04 ms at the ViT-B shape).**
+    ``MMTPU_ENC_ATTN_BLF=0`` opts out (A/B hygiene); when BLF is off or
+    unsupported at a site, dispatch falls through to proj-BHLD.
+    Returns "tpu"/"interpret"/None."""
     import os
 
     if os.environ.get("MMTPU_ENC_ATTN_BLF_INTERPRET") == "1":
         return "interpret"
-    if os.environ.get("MMTPU_ENC_ATTN_BLF") == "1" and _on_tpu_backend():
+    if os.environ.get("MMTPU_ENC_ATTN_BLF", "1") != "0" and _on_tpu_backend():
         return "tpu"
     return None
 
