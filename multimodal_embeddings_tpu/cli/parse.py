@@ -28,7 +28,7 @@ from multimodal_embeddings_tpu.io.logging_setup import get_logger
 logger = get_logger("cli.parse")
 
 SIZES = (
-    "tiny", "tiny-int8", "3b", "3b-int8", "7b", "7b-int8",
+    "tiny", "tiny-int8", "3b", "3b-int8", "3b-int4", "7b", "7b-int8",
     "32b", "32b-int8", "32b-int4",
 )
 
@@ -110,6 +110,7 @@ def make_document_parser(
         "tiny-int8": lambda: _dc.replace(QwenVLConfig.tiny(), quantize=True),
         "3b": QwenVLConfig.qwen25_vl_3b,
         "3b-int8": QwenVLConfig.qwen25_vl_3b_int8,
+        "3b-int4": QwenVLConfig.qwen25_vl_3b_int4,
         "7b": QwenVLConfig.qwen25_vl_7b,
         "7b-int8": QwenVLConfig.qwen25_vl_7b_int8,
         "32b": QwenVLConfig.qwen25_vl_32b,

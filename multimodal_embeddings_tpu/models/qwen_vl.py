@@ -158,6 +158,17 @@ class QwenVLConfig:
         return dataclasses.replace(cls.qwen25_vl_3b(), quantize=True)
 
     @classmethod
+    def qwen25_vl_3b_int4(cls) -> "QwenVLConfig":
+        """3B with packed-int4 decoder storage. Decode is weight-streaming
+        bound (the ~5 ms/step int8 stream dominates the measured 10-13
+        ms/step at batch 8-32, BENCH_PARSE.json r4-09/r4-11) — packed int4
+        halves the streamed bytes again; whether the in-kernel nibble
+        unpack eats the win at decode's M=B shapes is the measurement
+        (the 11B embedder's int4 ties int8 at M=64 decode-like rows but
+        loses 2.2x at M=3k, ROADMAP chain-10)."""
+        return dataclasses.replace(cls.qwen25_vl_3b(), quantize="int4")
+
+    @classmethod
     def qwen25_vl_32b_int8(cls) -> "QwenVLConfig":
         return dataclasses.replace(cls.qwen25_vl_32b(), quantize=True)
 

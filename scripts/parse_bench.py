@@ -87,6 +87,7 @@ def build_model_and_variables(size: str):
         "tiny-int8": lambda: _dc.replace(QwenVLConfig.tiny(), quantize=True),
         "3b": QwenVLConfig.qwen25_vl_3b,
         "3b-int8": QwenVLConfig.qwen25_vl_3b_int8,
+        "3b-int4": QwenVLConfig.qwen25_vl_3b_int4,
         "7b": QwenVLConfig.qwen25_vl_7b,
         "7b-int8": QwenVLConfig.qwen25_vl_7b_int8,
         "32b-int4": QwenVLConfig.qwen25_vl_32b_int4,
@@ -126,8 +127,8 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--size", default="3b",
-        choices=["tiny", "tiny-int8", "3b", "3b-int8", "7b", "7b-int8",
-                 "32b-int4"],
+        choices=["tiny", "tiny-int8", "3b", "3b-int8", "3b-int4", "7b",
+                 "7b-int8", "32b-int4"],
     )
     parser.add_argument(
         "--batch", type=int, default=1,

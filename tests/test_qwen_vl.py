@@ -531,6 +531,62 @@ class TestQuantized:
         assert out.shape == (2, 4)
         assert np.all(out >= 0) and np.all(out < model.config.text.vocab_size)
 
+    def _pair_int4(self):
+        """int4 sibling of _pair (packed nibbles, group scales) — the
+        storage class behind the new ``3b-int4`` parse config (decode is
+        weight-streaming bound, r4-09/r4-11; int4 halves the streamed
+        bytes again)."""
+        import dataclasses
+
+        from flax.linen import unbox
+        from multimodal_embeddings_tpu.models.quantized import (
+            quantize_dense_tree,
+        )
+
+        config = QwenVLConfig.tiny()
+        qconfig = dataclasses.replace(config, quantize="int4")
+        model = QwenVLModel(config, dtype=jnp.float32)
+        qmodel = QwenVLModel(qconfig, dtype=jnp.float32)
+        rng = np.random.default_rng(13)
+        prompt = rng.integers(10, config.text.vocab_size, (2, 8)).astype(np.int32)
+        variables = unbox(model.init(jax.random.PRNGKey(7), jnp.asarray(prompt)))
+        target = jax.eval_shape(
+            lambda: qmodel.init(jax.random.PRNGKey(7), jnp.asarray(prompt))
+        )
+        qvars = {
+            "params": quantize_dense_tree(
+                variables["params"], unbox(target)["params"]
+            )
+        }
+        return model, qmodel, variables, qvars, prompt
+
+    def test_int4_logits_close_to_fp(self):
+        model, qmodel, variables, qvars, prompt = self._pair_int4()
+        ref, _, _ = model.apply(variables, jnp.asarray(prompt), None)
+        got, _, _ = qmodel.apply(qvars, jnp.asarray(prompt), None)
+        ref = np.asarray(ref, np.float64).reshape(-1, ref.shape[-1])
+        got = np.asarray(got, np.float64).reshape(-1, got.shape[-1])
+        cos = np.sum(ref * got, -1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+        )
+        # int4's 16 levels/group carry ~16x int8's quantization noise at
+        # the tiny config's widths (measured 0.979 min cosine here; the
+        # int8 sibling gates at 0.99)
+        assert cos.min() > 0.97, cos.min()
+
+    def test_int4_generate_runs(self):
+        model, qmodel, variables, qvars, prompt = self._pair_int4()
+        out = greedy_generate(qmodel, qvars, prompt, max_new_tokens=4)
+        assert out.shape == (2, 4)
+        assert np.all(out >= 0) and np.all(out < model.config.text.vocab_size)
+
+    def test_3b_int4_config(self):
+        """The 3b-int4 serving config exists and carries the packed-int4
+        storage class (cli/parse.py --size 3b-int4)."""
+        config = QwenVLConfig.qwen25_vl_3b_int4()
+        assert config.quantize == "int4"
+        assert config.text.layers == QwenVLConfig.qwen25_vl_3b().text.layers
+
 
 class TestFullSizeConfigs:
     def test_qwen25_vl_32b_is_32b(self):
