@@ -292,7 +292,10 @@ def _blf_pick_hpb(l, h, d, dv, dtype):
     at hpb=6 allocated 19.14M scoped (limit 16M): ≈ hpb·4·L² score bytes
     + double-buffered in/out blocks + one shared exp buffer. The PSA
     shape at hpb=2 (≈13.6M by this model) compiled and ran 2.24 ms vs
-    the 2.80 ms BHLD incumbent."""
+    the 2.80 ms BHLD incumbent. Cap calibration (chain r5-03): the ViT
+    shape at hpb=4 — 14.27M by this model — compiled and ran on chip
+    (3.719 ms vs hpb=2's 3.77), so the cap sits just above it; hpb=6
+    (17.2M modeled, 19.14M actual) is the measured crash."""
     elem = jnp.dtype(dtype).itemsize
     legal = {
         c
@@ -306,7 +309,7 @@ def _blf_pick_hpb(l, h, d, dv, dtype):
         exp = (2 if dtype == jnp.bfloat16 else 4) * l * l  # shared
         return blocks + scores + exp
 
-    fitting = [hpb for hpb in legal if scoped_bytes(hpb) <= 14e6]
+    fitting = [hpb for hpb in legal if scoped_bytes(hpb) <= 14.3e6]
     return max(fitting) if fitting else None
 
 

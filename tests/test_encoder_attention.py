@@ -318,16 +318,19 @@ class TestBlfLaneFolded:
         hpb = _blf_pick_hpb(784, 12, 64, 64, jnp.bfloat16)
         assert hpb is not None and 12 % hpb == 0
         assert (hpb * 64) % 128 == 0 or hpb == 12
+        # cap calibrated on chip (chain r5-03): hpb=4 (14.27M modeled)
+        # compiled and ran 3.719 ms vs hpb=2's 3.77 — the picker takes it
+        assert hpb == 4
         # measured VMEM model (chain r5-02): per-unrolled-head f32 score
         # buffers are NOT reused, so blocks + hpb·4L² + exp must fit
         scoped = (
             2 * 2 * 784 * hpb * 128 * 2 + hpb * 4 * 784 * 784 + 2 * 784 * 784
         )
-        assert scoped <= 14e6
+        assert scoped <= 14.3e6
         # the hpb=6 config that OOM'd on chip (19.14M scoped) is refused
         assert (
             2 * 2 * 784 * 6 * 128 * 2 + 6 * 4 * 784 * 784 + 2 * 784 * 784
-            > 14e6
+            > 14.3e6
         )
         assert blf_supported(784, 12, 64, 64, jnp.bfloat16)
         # the PSA shape that compiled at hpb=2 stays supported
