@@ -665,7 +665,7 @@ def main() -> None:
         or os.environ.get("MMTPU_ENC_ATTN_BLHD") == "1"  # opt-in pending A/B
         or os.environ.get("MMTPU_ENC_ATTN_PROJ") == "0"  # kernel-off control
         or os.environ.get("MMTPU_ENC_ATTN_BLF") == "0"  # kernel-off control
-        or os.environ.get("MMTPU_PSA_BLF") == "1"  # opt-in pending A/B
+        or os.environ.get("MMTPU_PSA_BLF") == "0"  # kernel-off control
     )
     args.record = (
         not env_experiment

@@ -535,11 +535,14 @@ class PSAAttention(nn.Module):
 
     def _attend(self, qkv, q, k, v, key_dim, head_dim):
         """Attention dispatch: the packed lane-folded kernel reads the
-        conv's per-head [q|k|v] slab directly (no split, no transposes —
-        measured 2.24 vs 2.80 ms at the production 30×1024 PSA shape,
-        chain r5-02); opt-in via MMTPU_PSA_BLF=1 pending the in-model
-        detect A/B, else the sdpa path (which flash-dispatches to the
-        whole-row kernel on TPU)."""
+        conv's per-head [q|k|v] slab directly (no split, no transposes).
+        DEFAULT ON since chain r5-05: standalone 2.416 vs the whole-row
+        kernel's 2.80 ms at the production 30×1024 PSA shape (−14%
+        attention time, chain r5-02/03 probes) and in-model headline
+        6.4521 vs 6.4455 (+0.1%, within noise — adopted as non-negative
+        with the kernel-level win). ``MMTPU_PSA_BLF=0`` opts out back to
+        the sdpa path (which flash-dispatches to the whole-row kernel on
+        TPU)."""
         import os
 
         from multimodal_embeddings_tpu.models.transformer import (
@@ -550,7 +553,7 @@ class PSAAttention(nn.Module):
         mode = None
         if os.environ.get("MMTPU_PSA_BLF_INTERPRET") == "1":
             mode = "interpret"
-        elif os.environ.get("MMTPU_PSA_BLF") == "1" and _on_tpu_backend():
+        elif os.environ.get("MMTPU_PSA_BLF", "1") != "0" and _on_tpu_backend():
             mode = "tpu"
         if mode is not None:
             from multimodal_embeddings_tpu.kernels.encoder_attention import (

@@ -191,11 +191,17 @@ def headline_flops_per_page(
     import jax as _jax
     import jax.numpy as _jnp
 
-    gates = ("MMTPU_ENC_ATTN", "MMTPU_ENC_ATTN_PROJ", "MMTPU_ENC_ATTN_BLF")
+    gates = (
+        "MMTPU_ENC_ATTN",
+        "MMTPU_ENC_ATTN_PROJ",
+        "MMTPU_ENC_ATTN_BLF",
+        "MMTPU_PSA_BLF",
+    )
     saved = {k: os.environ.get(k) for k in gates}
     os.environ["MMTPU_ENC_ATTN"] = "0"
     os.environ["MMTPU_ENC_ATTN_PROJ"] = "0"
     os.environ["MMTPU_ENC_ATTN_BLF"] = "0"
+    os.environ["MMTPU_PSA_BLF"] = "0"
     try:
         sd = lambda t: _jax.tree.map(  # noqa: E731
             lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), t
