@@ -375,6 +375,51 @@ class DocumentParser:
                 results[i] = (self.decode_tokens(row), input_h, input_w)
         return results  # type: ignore[return-value]
 
+    def parse_continuous(
+        self,
+        image_paths: List[str],
+        max_new_tokens: int = 256,
+        batch: int = 8,
+        chunk: int = 64,
+    ) -> List[Tuple[str, int, int]]:
+        """Continuous-batching bulk parse (``models/qwen_serve.py``): a
+        fixed ``batch``-row decoder with per-row cache depths serves the
+        page queue, retiring each row at its own EOS and splicing the
+        next page in at ``chunk``-step boundaries.
+
+        ``parse_batch`` exits each wave at its SLOWEST page (wall tracks
+        max(row stops) — measured r5-04); per-row exit tracks the MEAN
+        page length instead, which is where real checkpoints spend most
+        pages (HTML output is much shorter than max_new_tokens on sparse
+        pages). Tokens are identical to per-page ``parse`` (test-locked).
+        Pages bucket by model-input grid exactly like ``parse_batch``."""
+        from multimodal_embeddings_tpu.models.qwen_serve import (
+            continuous_generate,
+        )
+
+        buckets: dict = {}
+        for i, path in enumerate(image_paths):
+            image = Image.open(path).convert("RGB")
+            size = self._input_size(image)
+            buckets.setdefault(size, []).append((i, image))
+        results: List[Optional[Tuple[str, int, int]]] = (
+            [None] * len(image_paths)
+        )
+        for (input_w, input_h), items in buckets.items():
+            ids1 = self._prompt_ids(input_w, input_h, max_new_tokens)
+            pages = [
+                (ids1[0], preprocess_page(img, input_w, input_h)[0])
+                for _, img in items
+            ]
+            outs = continuous_generate(
+                self.model, self.variables, pages,
+                batch=min(batch, len(pages)),
+                max_new_tokens=max_new_tokens, chunk=chunk,
+            )
+            for row, (i, _) in zip(outs, items):
+                results[i] = (self.decode_tokens(row), input_h, input_w)
+        return results  # type: ignore[return-value]
+
     def parse(
         self, image_path: str, max_new_tokens: int = 256
     ) -> Tuple[str, int, int]:

@@ -78,6 +78,21 @@ def build_parser() -> argparse.ArgumentParser:
         "scan amortize the weight stream ~B×; artifacts are identical to "
         "batch 1 (row-independent generate, test-locked)",
     )
+    parser.add_argument(
+        "--continuous",
+        action="store_true",
+        help="continuous batching (models/qwen_serve.py): keep "
+        "--batch_size decoder rows busy with per-row EOS exit + page "
+        "refill at --chunk-step boundaries — wall tracks the MEAN page "
+        "length instead of each wave's max (parse_batch); tokens "
+        "identical to per-page parse",
+    )
+    parser.add_argument(
+        "--chunk",
+        type=int,
+        default=64,
+        help="decode steps per refill boundary in --continuous mode",
+    )
     parser.add_argument("--draw_bbox", action="store_true")
     parser.add_argument(
         "--skip_errors",
@@ -233,13 +248,29 @@ def main(argv=None) -> int:
     if args.data_parallel > 1 and args.batch_size < args.data_parallel:
         args.batch_size = args.data_parallel  # one page per chip minimum
 
+    if args.continuous and (
+        args.pipeline_parallel > 1 or args.data_parallel > 1
+    ):
+        raise SystemExit(
+            "--continuous schedules one device's rows; compose scale-out "
+            "by sharding the page list across chips instead"
+        )
     n_done = 0
     index = []
-    batch = max(1, args.batch_size)
+    # continuous mode schedules the WHOLE queue in one call — refill
+    # happens across what would otherwise be wave boundaries
+    batch = len(paths) if args.continuous else max(1, args.batch_size)
     for start in range(0, len(paths), batch):
         chunk = paths[start : start + batch]
         try:
-            if batch > 1:
+            if args.continuous:
+                parsed = parser_obj.parse_continuous(
+                    chunk,
+                    max_new_tokens=args.max_new_tokens,
+                    batch=max(1, args.batch_size),
+                    chunk=args.chunk,
+                )
+            elif batch > 1:
                 parsed = parser_obj.parse_batch(
                     chunk, max_new_tokens=args.max_new_tokens
                 )

@@ -479,8 +479,8 @@ class QwenBlock(nn.Module):
         if position is None:
             new_cache = (k.astype(kvd), v.astype(kvd))
             attn = sdpa(q, k, v, mask=mask, causal=True)
-        else:
-            # single-step decode against a static cache
+        elif jnp.ndim(position) == 0:
+            # single-step decode against a static cache (shared slot)
             k_cache, v_cache = cache
             k_cache = jax.lax.dynamic_update_slice_in_dim(
                 k_cache, k.astype(k_cache.dtype), position, axis=1
@@ -491,6 +491,26 @@ class QwenBlock(nn.Module):
             new_cache = (k_cache, v_cache)
             valid = (
                 jnp.arange(k_cache.shape[1])[None, None, None, :] <= position
+            )
+            attn = sdpa(q, k_cache, v_cache, mask=valid)
+        else:
+            # PER-ROW slot decode: position is (B,) — rows admitted at
+            # different times sit at different cache depths (continuous
+            # batching, models/qwen_serve.py). One-row scatter per batch
+            # row; the per-step cost is dominated by the full-cache KV
+            # read either way.
+            k_cache, v_cache = cache
+            rows = jnp.arange(k_cache.shape[0])
+            k_cache = k_cache.at[rows, position].set(
+                k.astype(k_cache.dtype)[:, 0]
+            )
+            v_cache = v_cache.at[rows, position].set(
+                v.astype(v_cache.dtype)[:, 0]
+            )
+            new_cache = (k_cache, v_cache)
+            valid = (
+                jnp.arange(k_cache.shape[1])[None, None, None, :]
+                <= position[:, None, None, None]
             )
             attn = sdpa(q, k_cache, v_cache, mask=valid)
 
@@ -640,12 +660,16 @@ class QwenVLModel(nn.Module):
         mrope_delta: Optional[jnp.ndarray] = None,
     ):
         """One cached decode step: token_ids (B, 1) at cache slot
-        ``position``; the rotary angle uses ``position + mrope_delta``
+        ``position`` — a scalar (all rows at the same depth, the batched
+        one-shot generate) or a (B,) vector (per-row depths, continuous
+        batching); the rotary angle uses ``position + mrope_delta``
         (text after an image sits at higher M-RoPE positions than its
         cache slot)."""
         x = self.tok_embed(token_ids)
         b = token_ids.shape[0]
-        pos = jnp.full((b,), position, jnp.int32)
+        pos = jnp.broadcast_to(
+            jnp.asarray(position, jnp.int32), (b,)
+        )
         if mrope_delta is not None:
             pos = pos + mrope_delta
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, b, 1))

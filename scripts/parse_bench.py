@@ -168,6 +168,19 @@ def main() -> int:
         "(token output is identical; the while_loop exits at "
         "max(force_steps), the scan always runs max_new_tokens steps)",
     )
+    parser.add_argument(
+        "--continuous", type=int, default=0, metavar="PAGES",
+        help="serve PAGES pages through the continuous-batching loop "
+        "(models/qwen_serve.py): a fixed --batch-row decoder with per-row "
+        "cache depths, refilled at --chunk-step boundaries as rows emit "
+        "EOS. Combine with --eos_ragged (stops tile cyclically across "
+        "pages) to measure the per-row-exit upside over the batch "
+        "early-stop decode, whose wall tracks max(row stops)",
+    )
+    parser.add_argument(
+        "--chunk", type=int, default=64,
+        help="decode steps per host sync in --continuous mode",
+    )
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--page", default=None)
     parser.add_argument("--iters", type=int, default=2)
@@ -283,6 +296,99 @@ def main() -> int:
                     f"--eos_ragged gave {fs.shape[0]} stops for batch {batch}"
                 )
         force_steps = jnp.asarray(np.clip(fs, 1, max_new))
+
+    if args.continuous:
+        from multimodal_embeddings_tpu.models.qwen_serve import (
+            continuous_generate,
+        )
+
+        n_pages = args.continuous
+        page_ids = np.asarray(ids[0])
+        page_img = np.asarray(arr[0])
+        pages = [(page_ids, page_img)] * n_pages
+        stops = None
+        if force_steps is not None:
+            fs_np = np.asarray(force_steps)
+            stops = [int(fs_np[i % len(fs_np)]) for i in range(n_pages)]
+        # compile + warm pass (prefill1 / splice / chunk programs)
+        warm_stats: dict = {}
+        t0 = time.perf_counter()
+        continuous_generate(
+            model, variables, pages, batch=batch, max_new_tokens=max_new,
+            chunk=args.chunk, stops=stops, stats=warm_stats,
+        )
+        warm_s = time.perf_counter() - t0
+        stats: dict = {}
+        outs = continuous_generate(
+            model, variables, pages, batch=batch, max_new_tokens=max_new,
+            chunk=args.chunk, stops=stops, stats=stats,
+        )
+        assert len(outs) == n_pages
+        wall = stats["wall_s"]
+        useful = (
+            sum(min(s, max_new) for s in stops)
+            if stops is not None else n_pages * max_new
+        )
+        ideal_steps = (
+            sum(min(max(s, 1), max_new) for s in stops)
+            if stops is not None else n_pages * max_new
+        )
+        result = {
+            "metric": (
+                f"Qwen2.5-VL-{args.size} CONTINUOUS batch parse "
+                f"({n_pages} pages through {batch} rows, chunk "
+                f"{args.chunk}, prompt {prompt_len} tokens incl. "
+                f"{n_tokens} image tokens @ {input_w}x{input_h}, "
+                f"max {max_new} new tokens, per-row exit + refill)"
+                + (f" [ragged EOS {args.eos_ragged}]"
+                   if args.eos_ragged else "")
+            ),
+            "size": args.size,
+            "mode": "continuous",
+            "pages": n_pages,
+            "batch": batch,
+            "chunk": args.chunk,
+            "input_wh": [input_w, input_h],
+            "prompt_len": int(prompt_len),
+            "max_new_tokens": int(max_new),
+            "wall_s": round(wall, 2),
+            "pages_per_hour": round(n_pages * 3600.0 / wall, 1),
+            "useful_tokens_per_sec": round(useful / wall, 1),
+            "decode_steps_executed": stats["decode_steps"],
+            "ideal_row_steps": int(-(-ideal_steps // batch)),
+            "splice_s": round(stats["splice_s"], 2),
+            "chunks": stats["chunks"],
+            "warm_pass_s": round(warm_s, 1),
+            "init_s": round(init_s, 1),
+            "weights_upload_s": round(upload_s, 1),
+        }
+        if stops is not None:
+            result["eos_ragged"] = {
+                "spec": args.eos_ragged,
+                "stops_cycle": np.asarray(force_steps).tolist(),
+            }
+        print(json.dumps(result))
+        if args.record:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_PARSE.json")
+            key = (
+                f"{args.size}{'_native' if args.native else ''}"
+                f"_cont{n_pages}_b{batch}_c{args.chunk}"
+                f"{'_ragged' if args.eos_ragged else ''}"
+            )
+            try:
+                with open(path) as f:
+                    record = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                record = {}
+            import datetime
+
+            result["date"] = datetime.date.today().isoformat()
+            record[key] = result
+            with open(path, "w") as f:
+                json.dump(record, f, indent=2)
+                f.write("\n")
+        return 0
 
     def run_decode(last_logits, caches, delta):
         if force_steps is None:
