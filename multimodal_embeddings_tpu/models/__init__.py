@@ -7,5 +7,6 @@ from multimodal_embeddings_tpu.models.vision_encoder import (
     DualEncoderConfig,
 )
 from multimodal_embeddings_tpu.models.mme5 import MllamaConfig, MmE5Embedder
+from multimodal_embeddings_tpu.models.qwen_serve import continuous_generate
 from multimodal_embeddings_tpu.models.qwen_vl import QwenVLConfig, QwenVLModel
 from multimodal_embeddings_tpu.models.yolo import DocLayoutYOLO

@@ -110,27 +110,31 @@ def build_continuous_fns(
         }
         return new_state, first
 
+    def _step(variables, token, t, done, stops, delta, caches):
+        pos = prompt_len + jnp.minimum(t, max_new_tokens - 1)
+        logits, caches = model.apply(
+            variables,
+            token[:, None],
+            caches,
+            pos,
+            delta,
+            method=model.decode_step,
+        )
+        next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        next_token = jnp.where(t + 1 >= stops, eos, next_token)
+        next_token = jnp.where(done, eos, next_token)
+        done = done | (next_token == eos)
+        return next_token, t + 1, done, caches
+
     @jax.jit
     def decode_chunk(variables, state):
         def step(carry, _):
             token, t, done, stops, delta, caches = carry
-            pos = prompt_len + jnp.minimum(t, max_new_tokens - 1)
-            logits, caches = model.apply(
-                variables,
-                token[:, None],
-                caches,
-                pos,
-                delta,
-                method=model.decode_step,
+            next_token, t, done, caches = _step(
+                variables, token, t, done, stops, delta, caches
             )
-            next_token = jnp.argmax(logits[:, -1], axis=-1).astype(
-                jnp.int32
-            )
-            next_token = jnp.where(t + 1 >= stops, eos, next_token)
-            next_token = jnp.where(done, eos, next_token)
-            done = done | (next_token == eos)
             return (
-                next_token, t + 1, done, stops, delta, caches
+                next_token, t, done, stops, delta, caches
             ), next_token
 
         carry = (
@@ -142,7 +146,49 @@ def build_continuous_fns(
         return {
             "token": token, "t": t, "done": done, "stops": stops,
             "delta": delta, "caches": caches,
-        }, emitted
+        }, emitted, jnp.int32(chunk)
+
+    @jax.jit
+    def decode_chunk_exit(variables, state, want_exit):
+        """Like ``decode_chunk`` but exits as soon as any row that was
+        ACTIVE at entry finishes (``lax.while_loop``; rows already done
+        at entry — retired rows idling on an empty queue — don't
+        trigger). ``want_exit=False`` disables the early exit without a
+        recompile (the host passes it when the page queue is empty and a
+        refill couldn't happen anyway). Returns the number of steps
+        actually run; emitted slots beyond it are unwritten filler the
+        host must discard."""
+        done0 = state["done"]
+        out0 = jnp.full((chunk, done0.shape[0]), eos, jnp.int32)
+
+        def cond(carry):
+            i, _, _, done, _, _ = carry
+            no_new = ~jnp.any(done & ~done0)
+            return (i < chunk) & (no_new | ~want_exit)
+
+        def body(carry):
+            i, token, t, done, caches, out = carry
+            next_token, t, done, caches = _step(
+                variables, token, t, done, state["stops"],
+                state["delta"], caches,
+            )
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, next_token[None], i, axis=0
+            )
+            return i + 1, next_token, t, done, caches, out
+
+        init = (
+            jnp.int32(0), state["token"], state["t"], state["done"],
+            state["caches"], out0,
+        )
+        i, token, t, done, caches, out = jax.lax.while_loop(
+            cond, body, init
+        )
+        return {
+            "token": token, "t": t, "done": done,
+            "stops": state["stops"], "delta": state["delta"],
+            "caches": caches,
+        }, out, i
 
     def init_state():
         kvd = jnp.dtype(cfg.kv_dtype)
@@ -166,7 +212,9 @@ def build_continuous_fns(
             "caches": caches,
         }
 
-    return prefill1, splice_row, decode_chunk, init_state
+    return (
+        prefill1, splice_row, decode_chunk, decode_chunk_exit, init_state
+    )
 
 
 def continuous_generate(
@@ -178,6 +226,7 @@ def continuous_generate(
     chunk: int = 64,
     stops: Optional[Sequence[int]] = None,
     stats: Optional[Dict[str, Any]] = None,
+    early_exit: bool = True,
 ) -> List[np.ndarray]:
     """Parse ``pages`` through a continuously refilled B-row decoder.
 
@@ -189,6 +238,13 @@ def continuous_generate(
     order — token-identical to the one-shot ``build_generate_fns``
     decoders under the same injection. ``stats`` (optional dict) gets
     ``decode_steps`` / ``chunks`` / ``wall_s`` / ``splice_s`` filled in.
+
+    ``early_exit=True`` (default) runs chunks as a ``lax.while_loop``
+    that returns to the host as soon as a row finishes, so the refill
+    happens immediately instead of after up to ``chunk-1`` wasted idle
+    steps (measured r5-08: chunk-tail waste was 640 of 2688 steps at
+    chunk 64). ``early_exit=False`` is the fixed ``lax.scan`` chunk —
+    fewer host syncs, more tail waste. Tokens are identical either way.
     """
     if not pages:
         return []
@@ -206,11 +262,11 @@ def continuous_generate(
             model, batch, prompt_len, max_new_tokens, chunk
         )
         _SERVE_CACHE[key] = fns
-    prefill1, splice_row, decode_chunk, init_state = fns
+    prefill1, splice_row, decode_chunk, decode_chunk_exit, init_state = fns
 
     state = init_state()
     outputs: List[Optional[np.ndarray]] = [None] * len(pages)
-    collected: Dict[int, List[int]] = {}
+    collected: Dict[int, List[Any]] = {}
     active: Dict[int, int] = {}  # row -> page index
     free = list(range(batch))
     next_page = 0
@@ -221,7 +277,9 @@ def continuous_generate(
 
     def finalize(row: int) -> None:
         pid = active.pop(row)
-        toks = collected.pop(row)[:max_new_tokens]
+        # element 0 is the splice's device scalar (never fetched eagerly
+        # — one fewer tunnel round trip per page); the rest are host ints
+        toks = [int(x) for x in collected.pop(row)[:max_new_tokens]]
         out = np.full((max_new_tokens,), eos, np.int32)
         out[: len(toks)] = toks
         outputs[pid] = out
@@ -248,23 +306,31 @@ def continuous_generate(
             state, first = splice_row(
                 state, row, last, caches_new, delta_new, stop
             )
-            first_val = int(first)
-            collected[row] = [first_val]
+            # keep ``first`` as a device scalar; an instant-EOS row
+            # resolves at the next chunk sync via its done flag
+            collected[row] = [first]
             active[row] = pid
             splice_s += time.perf_counter() - ts
-            if first_val == eos or max_new_tokens == 1:
-                finalize(row)
 
     refill()
     while active:
-        state, emitted = decode_chunk(variables, state)
+        if early_exit:
+            want = jnp.bool_(next_page < len(pages))
+            state, emitted, steps = decode_chunk_exit(
+                variables, state, want
+            )
+        else:
+            state, emitted, steps = decode_chunk(variables, state)
         n_chunks += 1
-        n_steps += chunk
-        em = np.asarray(emitted)  # (C, B)
-        t_np = np.asarray(state["t"])
-        done_np = np.asarray(state["done"])
+        # ONE host sync per chunk: emitted tokens, per-row clocks, done
+        # flags and the executed-step count travel in a single fetch
+        em, t_np, done_np, steps_run = jax.device_get(
+            (emitted, state["t"], state["done"], steps)
+        )
+        steps_run = int(steps_run)
+        n_steps += steps_run
         for row in list(active):
-            collected[row].extend(int(x) for x in em[:, row])
+            collected[row].extend(int(x) for x in em[:steps_run, row])
             if done_np[row] or t_np[row] >= max_new_tokens - 1:
                 finalize(row)
         refill()
@@ -276,4 +342,5 @@ def continuous_generate(
         stats["splice_s"] = splice_s
         stats["batch"] = batch
         stats["chunk"] = chunk
+        stats["early_exit"] = early_exit
     return outputs  # type: ignore[return-value]

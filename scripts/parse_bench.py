@@ -181,6 +181,12 @@ def main() -> int:
         "--chunk", type=int, default=64,
         help="decode steps per host sync in --continuous mode",
     )
+    parser.add_argument(
+        "--cont_scan", action="store_true",
+        help="use the fixed lax.scan chunk in --continuous mode instead "
+        "of the early-exit while_loop (A/B: tail-waste vs per-step exit "
+        "check; tokens identical)",
+    )
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--page", default=None)
     parser.add_argument("--iters", type=int, default=2)
@@ -316,12 +322,14 @@ def main() -> int:
         continuous_generate(
             model, variables, pages, batch=batch, max_new_tokens=max_new,
             chunk=args.chunk, stops=stops, stats=warm_stats,
+            early_exit=not args.cont_scan,
         )
         warm_s = time.perf_counter() - t0
         stats: dict = {}
         outs = continuous_generate(
             model, variables, pages, batch=batch, max_new_tokens=max_new,
             chunk=args.chunk, stops=stops, stats=stats,
+            early_exit=not args.cont_scan,
         )
         assert len(outs) == n_pages
         wall = stats["wall_s"]
@@ -348,6 +356,7 @@ def main() -> int:
             "pages": n_pages,
             "batch": batch,
             "chunk": args.chunk,
+            "early_exit": not args.cont_scan,
             "input_wh": [input_w, input_h],
             "prompt_len": int(prompt_len),
             "max_new_tokens": int(max_new),
@@ -374,6 +383,7 @@ def main() -> int:
             key = (
                 f"{args.size}{'_native' if args.native else ''}"
                 f"_cont{n_pages}_b{batch}_c{args.chunk}"
+                f"{'_scan' if args.cont_scan else ''}"
                 f"{'_ragged' if args.eos_ragged else ''}"
             )
             try:

@@ -63,10 +63,12 @@ def _single_page_reference(model, variables, pages, max_new, stops):
 
 
 class TestContinuousParity:
-    def test_refill_token_equal(self, tiny_qwen):
+    @pytest.mark.parametrize("early_exit", [True, False])
+    def test_refill_token_equal(self, tiny_qwen, early_exit):
         """7 pages through 3 rows, chunk 4: several refill generations,
         stops spanning immediate-EOS (0), mid-chunk, chunk-boundary and
-        never-stop (> max_new)."""
+        never-stop (> max_new) — both the early-exit while_loop chunk
+        and the fixed scan chunk."""
         model, variables = tiny_qwen
         rng = np.random.default_rng(11)
         pages = _make_pages(model, 7, rng)
@@ -74,7 +76,7 @@ class TestContinuousParity:
         stops = [2, 5, 8, 1, 0, 3, 99]
         got = continuous_generate(
             model, variables, pages, batch=3, max_new_tokens=max_new,
-            chunk=4, stops=stops,
+            chunk=4, stops=stops, early_exit=early_exit,
         )
         want = _single_page_reference(
             model, variables, pages,
@@ -112,6 +114,7 @@ class TestContinuousParity:
         continuous_generate(
             model, variables, pages, batch=2, max_new_tokens=max_new,
             chunk=4, stops=[2, 2, 2, 2, 2, 2], stats=stats,
+            early_exit=False,
         )
         # batch mode would execute ceil(6/2) waves x 16 = 48 steps;
         # continuous retires every page within its first chunk: 3
@@ -119,6 +122,15 @@ class TestContinuousParity:
         assert stats["decode_steps"] <= 16
         assert stats["chunks"] == stats["decode_steps"] // 4
         assert stats["wall_s"] > 0
+        # the early-exit while_loop chunk returns at the finish event,
+        # so it executes no more (here: strictly fewer) steps
+        stats_ee: dict = {}
+        continuous_generate(
+            model, variables, pages, batch=2, max_new_tokens=max_new,
+            chunk=4, stops=[2, 2, 2, 2, 2, 2], stats=stats_ee,
+            early_exit=True,
+        )
+        assert stats_ee["decode_steps"] <= stats["decode_steps"]
 
     def test_parse_cli_continuous_matches(self, tmp_path, monkeypatch):
         """cli/parse.py --continuous emits byte-identical artifacts to
