@@ -168,6 +168,40 @@ class TestContinuousParity:
                 cont = f.read()
             assert seq == cont, name
 
+    def test_parse_continuous_dynamic_resolution_buckets(
+        self, tiny_qwen, tmp_path
+    ):
+        """parse_continuous under dynamic resolution: pages with
+        different smart-resize grids land in different buckets (their
+        prompt/image shapes differ) and each bucket runs its own
+        continuous loop; results come back in input order and match
+        parse_batch exactly."""
+        import os
+
+        from PIL import Image
+
+        from multimodal_embeddings_tpu.analysis.doc_parser import (
+            DocumentParser,
+        )
+        from multimodal_embeddings_tpu.models.tokenizer import ByteTokenizer
+
+        model, variables = tiny_qwen
+        paths = []
+        # two distinct aspect ratios -> two grid buckets
+        for i, (w, h) in enumerate([(112, 56), (56, 112), (112, 56)]):
+            p = os.path.join(tmp_path, f"p{i}.png")
+            Image.new("RGB", (w, h), ["white", "gray", "black"][i]).save(p)
+            paths.append(p)
+        parser = DocumentParser(
+            model, variables, ByteTokenizer(), dynamic_resolution=True,
+            max_pixels=112 * 112,
+        )
+        want = parser.parse_batch(paths, max_new_tokens=6)
+        got = parser.parse_continuous(
+            paths, max_new_tokens=6, batch=2, chunk=3
+        )
+        assert got == want
+
     def test_text_only_pages(self, tiny_qwen):
         model, variables = tiny_qwen
         pages = [(np.full((12,), 7, np.int32), None) for _ in range(3)]
