@@ -164,7 +164,10 @@ def build_continuous_fns(
         def cond(carry):
             i, _, _, done, _, _ = carry
             no_new = ~jnp.any(done & ~done0)
-            return (i < chunk) & (no_new | ~want_exit)
+            # all-done rows can only emit EOS padding — stop regardless
+            # of want_exit (saves the drain-phase tail after the last
+            # active row finishes)
+            return (i < chunk) & ~jnp.all(done) & (no_new | ~want_exit)
 
         def body(carry):
             i, token, t, done, caches, out = carry
